@@ -1,0 +1,115 @@
+"""Pipeline configuration.
+
+Mirrors the reference's knobs (sparsity / stages / buckets, ReadMe.txt:21-51;
+signature sizing LSHMinHash.java:92-96) re-expressed for the Spark build:
+128 permutations by default (north_star), (bands, rows) chosen for
+recall >= 0.99 at the target jaccard threshold, always-seeded coefficients
+(the reference's unseeded java.util.Random -- MinHash.java:127-129 -- makes
+its committed golden output irreproducible; we never do that).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import asdict, dataclass, field
+
+# Prime modulus for the affine MinHash family h(x) = (a*x + b) mod P.
+# Mersenne prime 2^61 - 1: with 32-bit shingle values and a < 2^31 the
+# product a*x + b stays inside uint64 (no overflow), so numpy uint64
+# arithmetic is exact.
+MERSENNE_61 = (1 << 61) - 1
+
+# Same role as the reference's LARGE_PRIME = 433494437 (LSH.java:14), used
+# only by the order-insensitive parity band hash (reference O10 semantics).
+REFERENCE_BAND_PRIME = 433494437
+
+
+def candidate_probability(s: float, bands: int, rows: int) -> float:
+    """P(two docs with jaccard s share >= 1 LSH band) = 1 - (1 - s^r)^b.
+
+    The S-curve the reference's signature-size comment cites
+    (LSHMinHash.java:73-91, MMDS p.88).
+    """
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def reference_signature_size(stages: int, threshold: float = 0.5) -> int:
+    """Reference sizing rule: r = ceil(ln(1/stages)/ln(threshold)) + 1,
+    size = r * stages (LSHMinHash.java:92-96, THRESHOLD=0.5 at :33).
+    stages=10 -> r=5 -> size=50, matching the committed golden run.
+    """
+    rows = int(math.ceil(math.log(1.0 / stages) / math.log(threshold))) + 1
+    return rows * stages
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """All knobs for one dedup run. Hashable + JSON-serializable so it can be
+    recorded in run metadata / lineage (reference exposes coefficients via
+    getCoefficients(), MinHash.java:316-318; we persist the whole config)."""
+
+    # --- shingling (reference stage A, out-of-repo: word tokens, k=1) ---
+    shingle_k: int = 1            # k=1 word tokens == reference granularity
+    min_token_freq: int = 0       # reference `sparsity` predicate (Main.java:99-104);
+                                  # 0 disables (the booleanize filter freq > sparsity)
+
+    # --- signatures ---
+    num_perm: int = 128           # north_star: 128 permutations
+    bands: int = 64               # b*r must == num_perm
+    rows_per_band: int = 2        # b=64,r=2: P(cand|0.5) = 1 - (1-0.25)^64 ~ 1-1e-8
+    seed: int = 0x5EED_CAFE
+
+    # --- thresholds ---
+    jaccard_threshold: float = 0.5
+    overlap_threshold: float = 0.5   # multiset overlap >= theta: the reference's
+                                     # reverse-engineered pairing rule (SURVEY.md 2.4)
+    containment_threshold: float = 0.8  # LCS-containment channel trigger
+
+    # --- skew handling (SURVEY.md 4.3: 300/4632 files in one band group) ---
+    max_bucket_pairs: int = 64    # buckets with <= this many members emit all pairs;
+                                  # larger buckets fall back to star topology
+    salt_partitions: int = 16     # salting factor for mega-bucket repartition
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+    simhash_bits: int = 64
+    simhash_hamming_max: int = 3
+
+    extra: dict = field(default_factory=dict, compare=False, hash=False)
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows ({self.bands}*{self.rows_per_band}) != num_perm ({self.num_perm})"
+            )
+
+    @property
+    def config_id(self) -> str:
+        return (
+            f"k{self.shingle_k}-p{self.num_perm}-b{self.bands}r{self.rows_per_band}"
+            f"-s{self.seed:x}-t{self.jaccard_threshold}"
+        )
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        d.pop("extra", None)
+        return json.dumps(d, sort_keys=True)
+
+    def candidate_recall_at(self, s: float) -> float:
+        return candidate_probability(s, self.bands, self.rows_per_band)
+
+
+#: Config reproducing the reference golden run's shape: stages=10, buckets=10,
+#: sparsity=5, sig size 50 (output dir name + ReadMe.txt:51). Used by parity
+#: tests; `buckets` lives in extra because only the parity band hash uses it.
+def reference_parity_config(seed: int = 42) -> PipelineConfig:
+    return PipelineConfig(
+        shingle_k=1,
+        min_token_freq=5,
+        num_perm=50,
+        bands=10,
+        rows_per_band=5,
+        seed=seed,
+        extra={"buckets": 10},
+    )

@@ -1,0 +1,134 @@
+"""Candidate generation stage S5: the one shuffle that skew threatens.
+
+Reference counterpart: out-of-repo stage B's pair generation
+(SURVEY.md 2.4) -- all pairs of files sharing an LSH bucket. Naively that is
+a self-join on the band key, O(k^2) per bucket: fatal at 10^12 files when a
+boilerplate band holds millions of members (the reference itself exhibits a
+300-file mega group in its golden output, SURVEY.md 4.3).
+
+Strategy here:
+
+* buckets with 2..max_bucket_pairs members: exact all-pairs via self-join on
+  (band_id, band_hash). Per-key cost capped at max_bucket_pairs^2.
+* mega buckets (> max_bucket_pairs): star topology -- pair every member with
+  the bucket's min-id member only. Linear in bucket size, and preserves the
+  connected-component clustering downstream (every member stays reachable
+  from the anchor). Pairwise recall inside a mega bucket is then delivered
+  by cluster transitivity after verification, plus the content_sha
+  short-circuit for exact dups.
+* bucket occupancy (reference O14, Main.java:117-119) doubles as the skew
+  monitor.
+
+All aggregations here (count/min) have map-side partial aggregation, so even
+the hot key costs one reducer O(k) -- never O(k^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from lsh_for_source_code_spark.config import PipelineConfig
+
+BAND_KEY = ["band_id", "band_hash"]
+
+
+def bucket_stats(bands: DataFrame) -> DataFrame:
+    """(band_id, band_hash, sz, anchor) -- occupancy + min-id per bucket."""
+    return bands.groupBy(*BAND_KEY).agg(
+        F.count("*").alias("sz"), F.min("file_id").alias("anchor")
+    )
+
+
+def bucket_occupancy(bands: DataFrame, top_k: int = 100) -> DataFrame:
+    """Skew report: the descendant of the reference's bucket-count trailer."""
+    return (
+        bands.groupBy(*BAND_KEY)
+        .count()
+        .orderBy(F.desc("count"), *BAND_KEY)
+        .limit(top_k)
+    )
+
+
+def candidate_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(id_a, id_b, n_shared_bands) with id_a < id_b.
+
+    The final groupBy both deduplicates pairs discovered in multiple bands
+    and records how many bands agreed (a cheap confidence signal)."""
+    stats = bucket_stats(bands)
+    tagged = bands.join(stats, on=BAND_KEY)  # co-partitioned with the groupBy
+
+    small = tagged.filter(
+        (F.col("sz") >= 2) & (F.col("sz") <= cfg.max_bucket_pairs)
+    ).select(*BAND_KEY, "file_id")
+    left = small.alias("l")
+    right = small.alias("r")
+    pairs_small = left.join(
+        right,
+        on=[F.col(f"l.{k}") == F.col(f"r.{k}") for k in BAND_KEY]
+        + [F.col("l.file_id") < F.col("r.file_id")],
+    ).select(
+        F.col("l.file_id").alias("id_a"), F.col("r.file_id").alias("id_b")
+    )
+
+    pairs_mega = tagged.filter(
+        (F.col("sz") > cfg.max_bucket_pairs) & (F.col("file_id") != F.col("anchor"))
+    ).select(F.col("anchor").alias("id_a"), F.col("file_id").alias("id_b"))
+
+    return (
+        pairs_small.unionByName(pairs_mega)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash_candidate_pairs(
+    signed: DataFrame, cfg: PipelineConfig, id_col: str = "file_id"
+) -> DataFrame:
+    """Second recall channel (north_star): pairs whose 64-bit SimHash
+    fingerprints differ in <= hamming_max bits.
+
+    Blocked by the 4-way band decomposition of the fingerprint (pigeonhole:
+    hamming <= 3 over 4 blocks => at least one 16-bit block matches exactly),
+    so this is again a groupBy-on-block-key self-join, never a cross join.
+    """
+    t = cfg.simhash_hamming_max
+    n_blocks = t + 1
+    width = cfg.simhash_bits // n_blocks
+    df = signed
+    if "degenerate" in df.columns:
+        df = df.filter(~F.col("degenerate"))
+    blocks = df.select(
+        F.col(id_col).alias("file_id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("block_id", "block_val"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.block_id") == F.col("r.block_id"),
+                F.col("l.block_val") == F.col("r.block_val"),
+                F.col("l.file_id") < F.col("r.file_id"),
+            ],
+        )
+        .select(
+            F.col("l.file_id").alias("id_a"),
+            F.col("r.file_id").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= t)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs

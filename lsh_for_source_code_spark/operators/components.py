@@ -1,0 +1,94 @@
+"""Clustering stage S7: connected components over the verified-pair graph.
+
+The reference has no explicit clustering (SURVEY.md 2.5: same-bucket grouping
+only, implicit); our clusters(file_id, cluster_id = min file_id in component)
+are the draw-independent artifact the north_rule's recall target is measured
+against.
+
+Algorithm: iterative min-label propagation as a DataFrame loop --
+each iteration is one shuffle (join edges with labels + groupBy min), with
+localCheckpoint to cut the growing lineage. Converges in O(diameter)
+iterations; dedup graphs are near-cliques / stars (diameter 2-3 after the
+star-topology candidate emission), so this beats the constant-factor-heavier
+large-star/small-star alternation in practice while using the identical
+per-iteration plan shape. GraphFrames deliberately avoided (SURVEY.md 7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """edges: (id_a, id_b). nodes (optional): one column `file_id` -- nodes
+    with no edges become singleton clusters. Returns (file_id, cluster_id).
+    """
+    e = edges.select(
+        F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(nodes.columns[0]).cast("long").alias("node")).distinct()
+        labels = (
+            all_nodes.join(labels, "node", "left")
+            .withColumn("label", F.coalesce("label", "node"))
+            .select("node", "label")
+        )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # neighbor labels: for each dst, the labels of its neighbors' srcs
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("file_id"), F.col("label").alias("cluster_id"))
+
+
+def clusters_to_pairs(clusters: DataFrame) -> DataFrame:
+    """All intra-cluster pairs (id_a < id_b) -- the pairwise view recall is
+    evaluated on. Cost is quadratic in cluster size by definition of the
+    metric; callers should bound cluster sizes before expanding at scale."""
+    a = clusters.alias("a")
+    b = clusters.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.cluster_id") == F.col("b.cluster_id"),
+                F.col("a.file_id") < F.col("b.file_id"),
+            ],
+        )
+        .select(
+            F.col("a.file_id").alias("id_a"),
+            F.col("b.file_id").alias("id_b"),
+        )
+    )

@@ -1,0 +1,199 @@
+"""Verification stage S6: exact similarity on candidate pairs.
+
+Reference counterparts: exact Jaccard (MinHash.java:43-57, O15), the
+signature-agreement estimate (MinHash.java:237-251, O17) and the
+reverse-engineered multiset-overlap pairing rule of the out-of-repo verifier
+(SURVEY.md 2.4): sim(A,B) = |A intersect B|_multiset / max(|A|,|B|).
+
+Plan shape: candidates join shingle arrays (sort-merge join, AQE skew-split)
+-> jaccard via JVM array functions (whole-stage codegen) -> multiset overlap
+via ONE vectorized pandas UDF (global lexsort over the batch -- no per-row
+set ops) -> optional suffix-style LCS containment channel for containment
+dups the overlap rule misses by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from lsh_for_source_code_spark.config import PipelineConfig
+
+
+def _concat_with_pair_idx(col: pd.Series):
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in col), dtype=np.int64, count=len(col)
+    )
+    idx = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+    if lens.sum() == 0:
+        return np.empty(0, dtype=np.int64), idx
+    vals = np.concatenate([np.asarray(a) for a in col if a is not None and len(a)])
+    return vals, idx
+
+
+@pandas_udf(DoubleType())
+def multiset_overlap_udf(
+    sh_a: pd.Series, cn_a: pd.Series, sh_b: pd.Series, cn_b: pd.Series,
+    nt_a: pd.Series, nt_b: pd.Series,
+) -> pd.Series:
+    """overlap(A,B) = sum_shared min(freq_A, freq_B) / max(|A|, |B|).
+
+    Vectorized across the whole batch: tag each shingle with its pair index,
+    lexsort (pair, shingle); because each side's ids are distinct, a shared
+    shingle is exactly an adjacent equal run of length 2.
+    """
+    n = len(sh_a)
+    va, ia = _concat_with_pair_idx(sh_a)
+    vb, ib = _concat_with_pair_idx(sh_b)
+    ca, _ = _concat_with_pair_idx(cn_a)
+    cb, _ = _concat_with_pair_idx(cn_b)
+    ids = np.concatenate([va, vb])
+    cnts = np.concatenate([ca, cb]).astype(np.int64)
+    pidx = np.concatenate([ia, ib])
+    inter = np.zeros(n, dtype=np.float64)
+    if len(ids):
+        order = np.lexsort((ids, pidx))
+        ids, cnts, pidx = ids[order], cnts[order], pidx[order]
+        match = (pidx[1:] == pidx[:-1]) & (ids[1:] == ids[:-1])
+        mins = np.minimum(cnts[1:][match], cnts[:-1][match])
+        inter = np.bincount(pidx[1:][match], weights=mins, minlength=n)
+    denom = np.maximum(nt_a.to_numpy(np.float64), nt_b.to_numpy(np.float64))
+    return pd.Series(np.where(denom > 0, inter / np.maximum(denom, 1.0), 0.0))
+
+
+@pandas_udf(DoubleType())
+def lcs_containment_udf(content_a: pd.Series, content_b: pd.Series) -> pd.Series:
+    """Longest-common-substring containment: lcs_len / min(len_a, len_b).
+
+    Suffix-structure channel for containment dups (north_star; no reference
+    counterpart -- the overlap>=theta rule punishes size mismatch,
+    SURVEY.md 2.4). Implemented as binary search on the LCS length with
+    polynomial rolling hashes; each probe intersects the two windows' hash
+    sets (numpy, vectorized per document pair). O(n log n) per pair.
+    """
+
+    MOD = (1 << 61) - 1
+    BASE = 131
+
+    def window_hashes(codes: np.ndarray, L: int, pows: np.ndarray) -> np.ndarray:
+        # prefix[i] = hash of codes[:i]; window hash via prefix difference
+        n = len(codes)
+        pref = np.zeros(n + 1, dtype=object)  # python ints: exact mod-p math
+        h = 0
+        # Horner over the array; loop length n but pure int ops (no alloc)
+        pl = pref
+        for i in range(n):
+            h = (h * BASE + int(codes[i])) % MOD
+            pl[i + 1] = h
+        starts = np.arange(0, n - L + 1)
+        pL = pows[L]
+        out = np.fromiter(
+            ((pl[s + L] - pl[s] * pL) % MOD for s in starts),
+            dtype=np.int64,
+            count=len(starts),
+        )
+        return out
+
+    def lcs_len(a: str, b: str) -> int:
+        ca = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+        cb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+        if len(ca) == 0 or len(cb) == 0:
+            return 0
+        maxlen = min(len(ca), len(cb))
+        pows = [1] * (maxlen + 1)
+        for i in range(1, maxlen + 1):
+            pows[i] = (pows[i - 1] * BASE) % MOD
+        lo, hi = 0, maxlen  # invariant: LCS >= lo, <= hi
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            ha = window_hashes(ca, mid, pows)
+            hb = window_hashes(cb, mid, pows)
+            if len(np.intersect1d(ha, hb)) > 0:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    out = np.zeros(len(content_a), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(content_a, content_b)):
+        if not a or not b:
+            continue
+        m = min(len(a.encode("utf-8")), len(b.encode("utf-8")))
+        if m == 0:
+            continue
+        out[i] = lcs_len(a, b) / m
+    return pd.Series(out)
+
+
+def join_pair_features(
+    candidates: DataFrame, shingled: DataFrame, id_col: str = "file_id"
+) -> DataFrame:
+    """Attach both sides' shingle arrays to candidate pairs. Column-pruned:
+    only (id, shingles, counts, n_tokens) is shuffled, never content."""
+    feat = shingled.select(
+        F.col(id_col).alias("fid"),
+        F.col("shingles"),
+        F.col("counts"),
+        F.col("n_tokens"),
+    )
+    a = feat.select(
+        F.col("fid").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("counts").alias("cn_a"),
+        F.col("n_tokens").alias("nt_a"),
+    )
+    b = feat.select(
+        F.col("fid").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("counts").alias("cn_b"),
+        F.col("n_tokens").alias("nt_b"),
+    )
+    return candidates.join(a, "id_a").join(b, "id_b")
+
+
+def verify_pairs(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "file_id",
+    keep_all: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, jaccard, overlap [, n_shared_bands]) for pairs passing
+    jaccard >= jaccard_threshold OR overlap >= overlap_threshold."""
+    joined = join_pair_features(candidates, shingled, id_col)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    out = joined.withColumn("jaccard", jac).withColumn(
+        "overlap",
+        multiset_overlap_udf("sh_a", "cn_a", "sh_b", "cn_b", "nt_a", "nt_b"),
+    )
+    if not keep_all:
+        out = out.filter(
+            (F.col("jaccard") >= cfg.jaccard_threshold)
+            | (F.col("overlap") >= cfg.overlap_threshold)
+        )
+    cols = ["id_a", "id_b", "jaccard", "overlap"]
+    if "n_shared_bands" in candidates.columns:
+        cols.append("n_shared_bands")
+    return out.select(*cols)
+
+
+def add_lcs_containment(
+    pairs: DataFrame, files: DataFrame, id_col: str = "file_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Containment channel: join content back (only for the surviving pairs
+    -- a tiny fraction of the corpus) and score LCS containment."""
+    c = files.select(F.col(id_col).alias("fid"), F.col(content_col).alias("c"))
+    a = c.select(F.col("fid").alias("id_a"), F.col("c").alias("content_a"))
+    b = c.select(F.col("fid").alias("id_b"), F.col("c").alias("content_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("lcs_containment", lcs_containment_udf("content_a", "content_b"))
+        .drop("content_a", "content_b")
+    )

@@ -1,0 +1,207 @@
+"""Operator-level tests: banding, candidates (skew cap/star), verification,
+connected components (SURVEY.md 5.2 items 1, 6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_for_source_code_spark.config import (
+    REFERENCE_BAND_PRIME,
+    PipelineConfig,
+    candidate_probability,
+    reference_signature_size,
+)
+from lsh_for_source_code_spark.functions.minhash import sign_files, signature_agreement
+from lsh_for_source_code_spark.functions.tokenize import shingle_files
+from lsh_for_source_code_spark.operators.banding import band_files, parity_band_hashes_col
+from lsh_for_source_code_spark.operators.candidates import (
+    bucket_occupancy,
+    candidate_pairs,
+    simhash_candidate_pairs,
+)
+from lsh_for_source_code_spark.operators.components import (
+    clusters_to_pairs,
+    connected_components,
+)
+from lsh_for_source_code_spark.operators.verify import verify_pairs
+
+
+CFG = PipelineConfig(num_perm=16, bands=8, rows_per_band=2, max_bucket_pairs=4)
+
+
+def _signed(spark, contents):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"file_id": np.arange(len(contents), dtype=np.int64), "content": contents}
+        )
+    )
+    return sign_files(shingle_files(df), CFG)
+
+
+def test_reference_signature_size_rule():
+    # stages=10 -> r=5 -> size=50: the committed golden-run config
+    # (LSHMinHash.java:92-96, output dir name).
+    assert reference_signature_size(10) == 50
+
+
+def test_candidate_probability_s_curve():
+    assert candidate_probability(1.0, 64, 2) == 1.0
+    assert candidate_probability(0.5, 64, 2) > 0.99
+    assert candidate_probability(0.05, 64, 2) < 0.15
+
+
+def test_banding_identical_signatures_collide(spark):
+    signed = _signed(spark, ["int a = 1; int b = 2;"] * 2 + ["float z = 9.0;"])
+    bands = band_files(signed, CFG)
+    assert bands.count() == 3 * CFG.bands
+    both = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.collect_set("file_id").alias("ids"))
+        .filter(F.array_contains("ids", 0) & F.array_contains("ids", 1))
+        .count()
+    )
+    assert both == CFG.bands  # identical docs collide in every band
+
+
+def test_banding_excludes_degenerate(spark):
+    signed = _signed(spark, ["int a = 1;", ""])
+    assert band_files(signed, CFG).select("file_id").distinct().count() == 1
+
+
+def test_parity_band_hash_closed_form(spark):
+    cfg = PipelineConfig(
+        num_perm=4, bands=2, rows_per_band=2, extra={"buckets": 10}
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"minhash": [[1, 2, 3, 4]]})
+    )
+    row = df.select(parity_band_hashes_col(cfg).alias("h")).first()
+    p = REFERENCE_BAND_PRIME
+    expect = [
+        ((1 * p) % 10 + 2 * p) % 10,
+        ((3 * p) % 10 + 4 * p) % 10,
+    ]
+    assert list(row.h) == expect
+
+
+def test_signature_agreement_estimator(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [[1, 2, 3, 4]], "b": [[1, 9, 3, 7]]})
+    )
+    v = df.select(signature_agreement(F.col("a"), F.col("b")).alias("s")).first().s
+    assert v == pytest.approx(0.5)
+
+
+def test_candidates_small_bucket_all_pairs(spark):
+    bands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "file_id": [1, 2, 3, 10, 11],
+                "band_id": [0] * 5,
+                "band_hash": [7, 7, 7, 8, 8],
+            }
+        )
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in candidate_pairs(bands, CFG).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3), (10, 11)}
+
+
+def test_candidates_mega_bucket_star_topology(spark):
+    n = 20  # > max_bucket_pairs=4
+    bands = spark.createDataFrame(
+        pd.DataFrame(
+            {"file_id": range(n), "band_id": [0] * n, "band_hash": [7] * n}
+        )
+    )
+    rows = candidate_pairs(bands, CFG).collect()
+    # linear, not quadratic: n-1 star edges from the min-id anchor
+    assert len(rows) == n - 1
+    assert all(r.id_a == 0 for r in rows)
+
+
+def test_candidates_n_shared_bands_dedup(spark):
+    bands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "file_id": [1, 2, 1, 2],
+                "band_id": [0, 0, 1, 1],
+                "band_hash": [7, 7, 9, 9],
+            }
+        )
+    )
+    rows = candidate_pairs(bands, CFG).collect()
+    assert len(rows) == 1 and rows[0].n_shared_bands == 2
+
+
+def test_bucket_occupancy_reports_skew(spark):
+    bands = spark.createDataFrame(
+        pd.DataFrame(
+            {"file_id": range(10), "band_id": [0] * 10, "band_hash": [5] * 9 + [6]}
+        )
+    )
+    top = bucket_occupancy(bands, top_k=1).first()
+    assert top["count"] == 9 and top.band_hash == 5
+
+
+def test_verify_exact_jaccard_and_overlap(spark):
+    # A = {a:2, b:1}, B = {a:1, c:1}: jaccard = 1/3,
+    # multiset overlap = min(2,1) / max(3, 2) = 1/3
+    docs = spark.createDataFrame(
+        pd.DataFrame({"file_id": [1, 2], "content": ["aa aa bb", "aa cc"]})
+    )
+    shingled = shingle_files(docs)
+    cands = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [2]}))
+    row = verify_pairs(cands, shingled, CFG, keep_all=True).first()
+    assert row.jaccard == pytest.approx(1 / 3)
+    assert row.overlap == pytest.approx(1 / 3)
+
+
+def test_verify_threshold_filter(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "file_id": [1, 2, 3],
+                "content": ["a b c d", "a b c d e", "x y z w"],
+            }
+        )
+    )
+    shingled = shingle_files(docs)
+    cands = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 1], "id_b": [2, 3]})
+    )
+    rows = verify_pairs(cands, shingled, CFG).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+
+
+def test_connected_components_chain_star_singleton(spark):
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 3, 10, 10], "id_b": [2, 3, 4, 11, 12]})
+    )
+    nodes = spark.createDataFrame(pd.DataFrame({"file_id": list(range(1, 5)) + [10, 11, 12, 99]}))
+    got = {
+        r.file_id: r.cluster_id
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_clusters_to_pairs(spark):
+    clusters = spark.createDataFrame(
+        pd.DataFrame({"file_id": [1, 2, 3, 9], "cluster_id": [1, 1, 1, 9]})
+    )
+    got = {(r.id_a, r.id_b) for r in clusters_to_pairs(clusters).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_simhash_candidates_find_near_identical(spark):
+    base = " ".join(f"tok{i}" for i in range(300))
+    variant = base + " extra1 extra2"
+    signed = _signed(spark, [base, variant, "completely different words here"])
+    pairs = simhash_candidate_pairs(signed, CFG).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
