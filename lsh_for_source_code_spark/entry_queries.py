@@ -1,0 +1,612 @@
+"""Driver-contract queries (__spark_entry__.py backend).
+
+Each query here is one operator family from SURVEY.md 2 exercised over the
+driver testdata tables (/root/testdata/sf*/...), paired where possible with
+an ANSI-SQL DuckDB oracle (ORACLE dict). Column names/aliases match the
+oracle exactly; floating-point columns are rounded identically on both sides.
+
+The dedup queries treat `documents(doc_id, text, ...)` as the code_files
+input (doc_id = file_id, text = content); the real pipeline API over the
+(repo, path, commit, lang, content) shape lives in plans/pipeline.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from lsh_for_source_code_spark.config import PipelineConfig
+from lsh_for_source_code_spark.functions.minhash import sign_files
+from lsh_for_source_code_spark.functions.tokenize import TOKEN_RE, shingle_files
+from lsh_for_source_code_spark.operators.banding import band_files
+from lsh_for_source_code_spark.operators.candidates import (
+    bucket_occupancy,
+    candidate_pairs,
+    simhash_candidate_pairs,
+)
+from lsh_for_source_code_spark.operators.components import connected_components
+from lsh_for_source_code_spark.operators.verify import verify_pairs
+
+STOPWORDS = ["the", "and", "of", "to", "in", "is", "that", "it", "for", "on"]
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+#: flagship LSH config: b=64 x r=2 from 128 perms -- P(candidate | s=0.9)
+#: = 1 - (1 - 0.81)^64 ~ 1 - 1e-46, so the LSH pipeline's verified output
+#: equals the brute-force >= 0.9 pair set and a strict SQL oracle holds.
+FLAGSHIP_THETA = 0.9
+FLAGSHIP_CFG = PipelineConfig(
+    num_perm=128,
+    bands=64,
+    rows_per_band=2,
+    jaccard_threshold=FLAGSHIP_THETA,
+    overlap_threshold=2.0,  # disable the overlap channel: jaccard-only query
+    max_bucket_pairs=1_000_000,  # exact all-pairs (oracle-matched query)
+)
+SUBSET_MOD = 5  # flagship runs on doc_id % 5 == 0 (bounds the dense corpus)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _tokens(col):
+    return F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(TOKEN_RE), 0)
+
+
+def _docs_as_files(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("long").alias("file_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+
+
+def _shingled_signed(docs: DataFrame, cfg: PipelineConfig):
+    shingled = shingle_files(_docs_as_files(docs), k=cfg.shingle_k).select(
+        "file_id", "n_tokens", "shingles", "counts"
+    )
+    return shingled, sign_files(shingled, cfg)
+
+
+def lsh_verified_pairs(docs: DataFrame, cfg: PipelineConfig, theta: float) -> DataFrame:
+    """shingle -> sign -> band -> candidates -> exact-verify, jaccard-only."""
+    shingled, signed = _shingled_signed(docs, cfg)
+    bands = band_files(signed, cfg)
+    cands = candidate_pairs(bands, cfg)
+    pairs = verify_pairs(cands, shingled, cfg, keep_all=True)
+    return pairs.filter(F.col("jaccard") >= theta).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# individual queries: (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+def q_content_sha(spark, sf_dir):
+    """Per-row sha256 invariant (input_hint; reference 100% CSV semantics)."""
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.coalesce("text", F.lit("")), 256).alias("content_sha")
+    )
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact dedup via hash-groupBy (O3/O14-style distinct+count)."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .groupBy(F.sha2(F.coalesce("text", F.lit("")), 256).alias("content_sha"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """Tokenizer contract (SURVEY.md 2.3): word tokens per document."""
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+
+
+def q_vocab_size(spark, sf_dir):
+    """Global distinct-token count (reference O3 vocabulary build)."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+
+
+def q_token_freq_topk(spark, sf_dir):
+    """Global term frequencies, top 50 (groupBy + orderBy + limit)."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+def q_heavy_tokens_per_doc(spark, sf_dir):
+    """Reference booleanize/sparsity predicate (Main.java:99-104): per doc,
+    number of tokens with freq > 2."""
+    docs = _read(spark, sf_dir, "documents")
+    heavy = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") > 2)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_heavy"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(heavy, "doc_id", "left")
+        .select("doc_id", F.coalesce("n_heavy", F.lit(0)).alias("n_heavy"))
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID: English stopword token ratio."""
+    toks = _tokens(F.lower(F.col("text")))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    total = F.size(toks)
+    ratio = F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        hits.alias("sw_hits"),
+        F.round(ratio, 6).alias("sw_ratio"),
+        F.when(ratio > 0.02, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Document quality signals: length, punctuation ratio, stopword ratio."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n_chars = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    toks = _tokens(F.lower(text))
+    n_toks = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    sw_ratio = F.when(n_toks > 0, sw.cast("double") / n_toks).otherwise(0.0)
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_toks.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        ((n_toks >= 10) & (punct_ratio < 0.2)).alias("quality_ok"),
+    )
+
+
+def q_normalized_fingerprint(spark, sf_dir):
+    """Whitespace/case-normalized content fingerprint (near-Type-1 dedup)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.coalesce("text", F.lit(""))), r"\s+", " "))
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(norm, 256).alias("fingerprint")
+    )
+
+
+def q_band_occupancy_events(spark, sf_dir):
+    """groupBy-count occupancy (reference O14 bucket-count trailer)."""
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """Broadcast hash join (reference O13 fileid lookup, done right)."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_agg_lineitem(spark, sf_dir):
+    """Multi-aggregate groupBy (partial/final split is Catalyst's)."""
+    return (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_top_customer_per_nation(spark, sf_dir):
+    """Window function: top-1 by acctbal per nation (row_number)."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        _read(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Blocked exact 2-gram jaccard (n-gram dedup channel): pairs within the
+    same source whose word-bigram sets overlap >= 0.3."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    grams = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws("", a, b),
+        )
+    )
+    g = docs.select("doc_id", "source", grams.alias("grams"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("double")
+    union = (
+        F.size(F.col("a.grams")) + F.size(F.col("b.grams"))
+    ).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 6).alias("bigram_jaccard"),
+        )
+        .filter(F.col("bigram_jaccard") >= 0.3)
+    )
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    """FLAGSHIP: full LSH pipeline (shingle -> minhash-128 -> 64x2 banding ->
+    candidates -> exact verify) on the doc_id %% 5 == 0 subset, theta=0.9.
+    Oracle-matched: candidate recall at s>=0.9 is 1 - 1e-46."""
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SUBSET_MOD == 0
+    )
+    return lsh_verified_pairs(docs, FLAGSHIP_CFG, FLAGSHIP_THETA)
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """Connected components over the flagship verified pairs (subset)."""
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SUBSET_MOD == 0
+    )
+    pairs = lsh_verified_pairs(docs, FLAGSHIP_CFG, FLAGSHIP_THETA)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("file_id"))
+    return connected_components(pairs.select("id_a", "id_b"), nodes=nodes).select(
+        F.col("file_id").alias("doc_id"), "cluster_id"
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """Rows-only: signatures are UDF-defined (numpy oracle lives in pytest)."""
+    docs = _read(spark, sf_dir, "documents")
+    _, signed = _shingled_signed(docs, FLAGSHIP_CFG)
+    return signed.select(
+        "file_id",
+        F.element_at("minhash", 1).alias("sig_first"),
+        F.size("minhash").alias("sig_len"),
+        "simhash",
+    )
+
+
+def q_simhash_hamming_pairs(spark, sf_dir):
+    """Rows-only: SimHash hamming <= 3 channel over the full documents set."""
+    docs = _read(spark, sf_dir, "documents")
+    cfg = PipelineConfig()
+    _, signed = _shingled_signed(docs, cfg)
+    return simhash_candidate_pairs(signed, cfg)
+
+
+def q_band_skew_report(spark, sf_dir):
+    """Rows-only: top-20 hottest LSH buckets (O14 skew monitor)."""
+    docs = _read(spark, sf_dir, "documents")
+    _, signed = _shingled_signed(docs, FLAGSHIP_CFG)
+    return bucket_occupancy(band_files(signed, FLAGSHIP_CFG), top_k=20)
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 10."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = _cosine(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_raw", 4).alias("cos_sim"),
+        )
+    )
+
+
+def q_embedding_ann_lsh(spark, sf_dir):
+    """Rows-only: random-hyperplane LSH bucketing for ANN at scale -- each
+    vector gets a 16-bit sign sketch; neighbor candidates share the sketch
+    block. (Scale path for q_embedding_topk's brute force.)"""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((16, 64))
+
+    @pandas_udf(LongType())
+    def sketch(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # (n, 64)
+        bits = (mat @ planes.T) > 0  # (n, 16)
+        out = np.zeros(len(v), dtype=np.int64)
+        for j in range(16):
+            out |= bits[:, j].astype(np.int64) << j
+        return pd.Series(out)
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sk = emb.withColumn("sketch", sketch("v")).select("vec_id", "sketch")
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.sketch") == F.col("b.sketch"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.sketch").alias("sketch"),
+        )
+    )
+
+
+QUERIES = {
+    "content_sha": q_content_sha,
+    "exact_dup_groups": q_exact_dup_groups,
+    "token_counts": q_token_counts,
+    "vocab_size": q_vocab_size,
+    "token_freq_topk": q_token_freq_topk,
+    "heavy_tokens_per_doc": q_heavy_tokens_per_doc,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "normalized_fingerprint": q_normalized_fingerprint,
+    "band_occupancy_events": q_band_occupancy_events,
+    "broadcast_dim_join": q_broadcast_dim_join,
+    "agg_lineitem": q_agg_lineitem,
+    "top_customer_per_nation": q_top_customer_per_nation,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "near_dup_pairs": q_near_dup_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "band_skew_report": q_band_skew_report,
+    "embedding_topk": q_embedding_topk,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+}
+
+_TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
+
+ORACLE = {
+    "content_sha": """
+        SELECT doc_id, sha256(coalesce(text, '')) AS content_sha FROM documents
+    """,
+    "exact_dup_groups": """
+        SELECT sha256(coalesce(text, '')) AS content_sha,
+               count(*) AS n_docs, min(doc_id) AS min_doc_id
+        FROM documents GROUP BY 1
+    """,
+    "token_counts": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}')) AS n_tokens
+        FROM documents
+    """,
+    "vocab_size": f"""
+        SELECT count(DISTINCT tok) AS vocab_size FROM (
+          SELECT unnest(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}')) AS tok
+          FROM documents
+        )
+    """,
+    "token_freq_topk": f"""
+        SELECT tok, count(*) AS freq FROM (
+          SELECT unnest(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}')) AS tok
+          FROM documents
+        ) GROUP BY tok ORDER BY freq DESC, tok ASC LIMIT 50
+    """,
+    "heavy_tokens_per_doc": f"""
+        WITH freqs AS (
+          SELECT doc_id, tok, count(*) AS freq FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}')) AS tok
+            FROM documents
+          ) GROUP BY doc_id, tok
+        ), heavy AS (
+          SELECT doc_id, count(*) AS n_heavy FROM freqs WHERE freq > 2 GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(h.n_heavy, 0) AS n_heavy
+        FROM documents d LEFT JOIN heavy h ON d.doc_id = h.doc_id
+    """,
+    "lang_id": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '{_TOKEN_RE_SQL}') AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS sw_hits,
+               round(CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> x IN ({_SW_SQL})))::DOUBLE / len(toks)
+                 ELSE 0.0 END, 6) AS sw_ratio,
+               CASE WHEN len(toks) > 0 AND
+                 len(list_filter(toks, x -> x IN ({_SW_SQL})))::DOUBLE / len(toks) > 0.02
+                 THEN 'en' ELSE 'other' END AS lang_pred
+        FROM t
+    """,
+    "quality_score": f"""
+        WITH t AS (
+          SELECT doc_id, coalesce(text, '') AS tx,
+                 regexp_extract_all(lower(coalesce(text, '')), '{_TOKEN_RE_SQL}') AS toks
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 length(tx) AS n_chars_m,
+                 len(toks) AS n_tokens,
+                 length(regexp_replace(tx, '[^.,;:!?]', '', 'g')) AS n_punct,
+                 len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS sw
+          FROM t
+        )
+        SELECT doc_id, n_chars_m, n_tokens,
+               round(CASE WHEN n_chars_m > 0 THEN n_punct::DOUBLE / n_chars_m ELSE 0.0 END, 6) AS punct_ratio,
+               round(CASE WHEN n_tokens > 0 THEN sw::DOUBLE / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+               (n_tokens >= 10 AND
+                CASE WHEN n_chars_m > 0 THEN n_punct::DOUBLE / n_chars_m ELSE 0.0 END < 0.2)
+                 AS quality_ok
+        FROM m
+    """,
+    "normalized_fingerprint": """
+        SELECT doc_id,
+               sha256(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')))
+                 AS fingerprint
+        FROM documents
+    """,
+    "band_occupancy_events": """
+        SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "broadcast_dim_join": """
+        SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "agg_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customer_per_nation": """
+        SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal FROM (
+          SELECT c_nationkey, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+          FROM customer
+        ) WHERE rn = 1
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH g AS (
+          SELECT doc_id, source,
+                 list_distinct([toks[i] || chr(1) || toks[i+1]
+                                FOR i IN range(1, len(toks))]) AS grams
+          FROM (
+            SELECT doc_id, source,
+                   regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}') AS toks
+            FROM documents
+          )
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                 THEN len(list_intersect(a.grams, b.grams))::DOUBLE
+                      / len(list_distinct(a.grams || b.grams))
+                 ELSE 0.0 END, 6) AS bigram_jaccard
+        FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                THEN len(list_intersect(a.grams, b.grams))::DOUBLE
+                     / len(list_distinct(a.grams || b.grams))
+                ELSE 0.0 END >= 0.3
+    """,
+    "near_dup_pairs": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}'))) AS tok
+          FROM documents WHERE doc_id % {SUBSET_MOD} = 0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT ia AS id_a, ib AS id_b,
+               round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON ia = sa.doc_id
+        JOIN sizes sb ON ib = sb.doc_id
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= {FLAGSHIP_THETA}
+    """,
+    "near_dup_clusters": f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}'))) AS tok
+          FROM documents WHERE doc_id % {SUBSET_MOD} = 0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ), pairs AS (
+          SELECT ia, ib FROM inter
+          JOIN sizes sa ON ia = sa.doc_id
+          JOIN sizes sb ON ib = sb.doc_id
+          WHERE i::DOUBLE / (sa.n + sb.n - i) >= {FLAGSHIP_THETA}
+        ), edges AS (
+          SELECT ia AS a, ib AS b FROM pairs
+          UNION SELECT ib, ia FROM pairs
+        ), reach(node, r) AS (
+          SELECT doc_id, doc_id FROM documents WHERE doc_id % {SUBSET_MOD} = 0
+          UNION
+          SELECT rr.node, e.b FROM reach rr JOIN edges e ON e.a = rr.r
+        )
+        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """,
+    "embedding_topk": """
+        SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos_raw,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                            e.vec_id ASC) AS rn
+          FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+          WHERE q.vec_id < 10
+        ) WHERE rn <= 5
+    """,
+}

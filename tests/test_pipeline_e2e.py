@@ -1,0 +1,209 @@
+"""End-to-end pipeline tests against brute-force ground truth
+(SURVEY.md 5.2 items 2-3, 5-6; north_rule: dup-pair recall >= 0.99).
+
+Ground truth is computed in pure Python with the same tokenizer contract:
+all pairs with jaccard(word-token sets) >= theta. The pipeline must recover
+(via cluster co-membership) at least 99% of them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_for_source_code_spark.config import PipelineConfig
+from lsh_for_source_code_spark.corpus import corpus_df, generate_corpus
+from lsh_for_source_code_spark.functions.tokenize import TOKEN_RE
+from lsh_for_source_code_spark.operators.components import clusters_to_pairs
+from lsh_for_source_code_spark.plans.pipeline import run_pipeline, with_file_id
+
+N_FILES = 300
+SEED = 20260816
+CFG = PipelineConfig()  # b=64, r=2, theta=0.5
+
+
+def brute_force_pairs(contents: list[str], theta: float) -> set[tuple[int, int]]:
+    sets = [frozenset(re.findall(TOKEN_RE, c)) for c in contents]
+    out = set()
+    for i, j in combinations(range(len(sets)), 2):
+        a, b = sets[i], sets[j]
+        if not a and not b:
+            continue
+        inter = len(a & b)
+        if inter and inter / (len(a) + len(b) - inter) >= theta:
+            out.add((i, j))
+    return out
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark):
+    df, truth = corpus_df(spark, n_files=N_FILES, seed=SEED)
+    out = run_pipeline(spark, df, CFG)
+    ids = with_file_id(df).select("file_id", "path").toPandas()
+    return out, truth, ids
+
+
+def test_sha256_invariant_end_to_end(pipeline_result, spark):
+    out, _, _ = pipeline_result
+    corpus = generate_corpus(N_FILES, SEED)
+    expected = {
+        hashlib.sha256(c.encode()).hexdigest() for c in corpus.files.content
+    }
+    got = {
+        r.content_sha for r in out["files_shingled"].select("content_sha").collect()
+    }
+    assert got == expected
+
+
+def test_clusters_are_a_partition(pipeline_result):
+    out, _, _ = pipeline_result
+    clusters = out["clusters"]
+    assert clusters.count() == N_FILES
+    assert clusters.select("file_id").distinct().count() == N_FILES
+    # cluster_id is a member of its own cluster (min-id representative)
+    bad = (
+        clusters.alias("c")
+        .join(
+            clusters.select(F.col("file_id").alias("cluster_id")).distinct(),
+            "cluster_id",
+            "left_anti",
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_dup_pair_recall_ge_99(pipeline_result, spark):
+    out, _, ids = pipeline_result
+    corpus = generate_corpus(N_FILES, SEED)
+    contents = list(corpus.files.content)
+    # map sequence index -> file_id via (path is unique per row)
+    seq_by_path = {
+        f"src/pkg{j % 13}/Class{j}.java": j for j in range(len(contents))
+    }
+    fid_to_seq = {
+        int(r.file_id): seq_by_path[r.path] for r in ids.itertuples()
+    }
+    truth_pairs = brute_force_pairs(contents, CFG.jaccard_threshold)
+    assert len(truth_pairs) > 50, "corpus must contain real dup pairs"
+
+    cluster_pairs_fid = clusters_to_pairs(out["clusters"]).collect()
+    got = set()
+    for r in cluster_pairs_fid:
+        i, j = fid_to_seq[r.id_a], fid_to_seq[r.id_b]
+        got.add((min(i, j), max(i, j)))
+    recall = len(truth_pairs & got) / len(truth_pairs)
+    assert recall >= 0.99, f"recall {recall:.4f} over {len(truth_pairs)} true pairs"
+
+
+def test_type1_families_share_cluster(pipeline_result):
+    out, truth, ids = pipeline_result
+    # every byte-identical (type1) family must land in exactly one cluster
+    seq_by_path = {f"src/pkg{j % 13}/Class{j}.java": j for j in range(len(truth))}
+    seq_to_fid = {seq_by_path[r.path]: int(r.file_id) for r in ids.itertuples()}
+    cl = {r.file_id: r.cluster_id for r in out["clusters"].collect()}
+    fams = truth[truth.family == "type1"].groupby("family_id").file_seq.apply(list)
+    assert len(fams) > 0
+    for _, seqs in fams.items():
+        cids = {cl[seq_to_fid[s]] for s in seqs}
+        assert len(cids) == 1
+
+
+def test_candidate_pairs_bounded_under_boilerplate_skew(spark):
+    """Skew test (SURVEY.md 5.2 item 6): mega buckets must emit linearly."""
+    import pandas as pd
+
+    header = "\n".join(["// license line alpha beta gamma"] * 40)
+    n = 200
+    contents = [header + f"\nint unique_{i} = {i};" for i in range(n)]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "repo": ["r"] * n,
+                "path": [f"p{i}" for i in range(n)],
+                "commit": ["c"] * n,
+                "lang": ["java"] * n,
+                "content": contents,
+            }
+        )
+    )
+    cfg = PipelineConfig(max_bucket_pairs=16)
+    out = run_pipeline(spark, df, cfg)
+    n_cand = out["candidate_pairs"].count()
+    # all 200 files are near-identical: naive would emit ~C(200,2) = 19900
+    # pairs; star-capped emission stays linear-ish
+    assert n_cand < 10 * n
+    # and clustering still groups them together
+    top = (
+        out["clusters"].groupBy("cluster_id").count().orderBy(F.desc("count")).first()
+    )
+    assert top["count"] >= n * 0.99
+
+
+def test_resume_reproduces_clusters(spark, tmp_path):
+    df, _ = corpus_df(spark, n_files=80, seed=3)
+    cfg = PipelineConfig()
+    ck = str(tmp_path / "ck")
+    out1 = run_pipeline(spark, df, cfg, checkpoint_dir=ck)
+    r1 = {(r.file_id, r.cluster_id) for r in out1["clusters"].collect()}
+    log1 = [e["action"] for e in out1["_store"].log]
+    assert all(a == "computed" for a in log1)
+
+    out2 = run_pipeline(spark, df, cfg, checkpoint_dir=ck)
+    r2 = {(r.file_id, r.cluster_id) for r in out2["clusters"].collect()}
+    log2 = [e["action"] for e in out2["_store"].log]
+    assert all(a == "resumed" for a in log2)
+    assert r1 == r2
+
+
+def test_partial_resume_after_simulated_kill(spark, tmp_path):
+    """Kill after S3 (signatures), resume: S1-S3 reused, final identical."""
+    import shutil
+
+    df, _ = corpus_df(spark, n_files=80, seed=3)
+    cfg = PipelineConfig()
+    full_ck = str(tmp_path / "full")
+    outf = run_pipeline(spark, df, cfg, checkpoint_dir=full_ck)
+    expect = {(r.file_id, r.cluster_id) for r in outf["clusters"].collect()}
+
+    part_ck = str(tmp_path / "part")
+    run_pipeline(spark, df, cfg, checkpoint_dir=part_ck)
+    for late in ["bands", "candidate_pairs", "verified_pairs", "clusters"]:
+        shutil.rmtree(f"{part_ck}/{late}")
+    out2 = run_pipeline(spark, df, cfg, checkpoint_dir=part_ck)
+    actions = {e["stage"]: e["action"] for e in out2["_store"].log}
+    assert actions["files_shingled"] == "resumed"
+    assert actions["signatures"] == "resumed"
+    assert actions["clusters"] == "computed"
+    got = {(r.file_id, r.cluster_id) for r in out2["clusters"].collect()}
+    assert got == expect
+
+
+def test_lcs_containment_channel(spark):
+    """Containment dups (seed embedded in 3-10x larger host) are below the
+    jaccard/overlap bar but caught by the LCS channel."""
+    import pandas as pd
+
+    from lsh_for_source_code_spark.operators.verify import (
+        add_lcs_containment,
+        lcs_containment_udf,
+    )
+
+    inner = "\n".join(f"int v{i} = compute_{i}(x{i});" for i in range(30))
+    host = (
+        "\n".join(f"String h{i} = load_{i}();" for i in range(100))
+        + "\n" + inner + "\n"
+        + "\n".join(f"double t{i} = sum_{i}();" for i in range(100))
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"content_a": [inner, "abc"], "content_b": [host, "xyz"]})
+    )
+    rows = df.withColumn(
+        "c", lcs_containment_udf("content_a", "content_b")
+    ).collect()
+    assert rows[0].c > 0.95  # inner is contained verbatim
+    assert rows[1].c < 0.5
