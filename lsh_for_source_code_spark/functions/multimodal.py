@@ -1,0 +1,115 @@
+"""Multimodal column plumbing for training-data pipelines.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata; the
+Spark-side contract (schemas, Arrow batch shapes, mapInPandas partitioning)
+is real and tested. The actual codec work is stubbed deterministically
+because decode libraries (PIL/ffmpeg/torchaudio) are not in this container
+-- each stub is clearly marked and isolated behind `_decode_*` so swapping
+in a real codec changes no Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload_sha", StringType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("feature", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def _decode_image(payload: bytes, width, height) -> np.ndarray:
+    """STUB: real implementation would decode (PIL/turbojpeg) and resize.
+
+    Deterministic fake: a 16-dim 'embedding' derived from the payload bytes
+    so the pipeline's joins/dedup logic is exercisable end-to-end.
+    Raises NotImplementedError for payloads that declare a real codec need.
+    """
+    if payload is None:
+        raise NotImplementedError("image decode requires a codec library")
+    digest = hashlib.blake2b(payload, digest_size=64).digest()
+    return (
+        np.frombuffer(digest, dtype=np.uint8).astype(np.float32).reshape(-1)[:16]
+        / 255.0
+    )
+
+
+def _decode_audio_frames(payload: bytes, duration_ms) -> np.ndarray:
+    """STUB: real implementation would ffmpeg-decode and frame-sample."""
+    if payload is None:
+        raise NotImplementedError("audio decode requires a codec library")
+    digest = hashlib.blake2b(payload, digest_size=32).digest()
+    return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
+
+
+def extract_media_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """mapInPandas feature extraction: one Arrow batch in, one feature row
+    per media row out. Partitioning contract: upstream should
+    repartition(.., 'media_id') so payload bytes shuffle once at most."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, shas, nbytes = [], [], []
+            for kind, payload, w, h, dur in zip(
+                pdf["kind"], pdf["payload"], pdf.get("width"), pdf.get("height"),
+                pdf.get("duration_ms"),
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                shas.append(hashlib.sha256(raw).hexdigest())
+                nbytes.append(len(raw))
+                if kind == "image":
+                    feats.append(_decode_image(raw, w, h))
+                elif kind in ("audio", "video"):
+                    feats.append(_decode_audio_frames(raw, dur))
+                else:
+                    feats.append(np.zeros(16, dtype=np.float32))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_sha": shas,
+                    "n_bytes": nbytes,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def media_exact_dups(features: DataFrame) -> DataFrame:
+    """Exact dedup on payload sha (same groupBy-min pattern as S2)."""
+    return features.groupBy("payload_sha").agg(
+        F.count("*").alias("n_copies"), F.min("media_id").alias("rep_id")
+    )

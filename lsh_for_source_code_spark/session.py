@@ -10,6 +10,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from lsh_for_source_code_spark.shipping import ensure_shipped, export_pythonpath
+
 
 def get_spark(
     app_name: str = "lsh-for-source-code-spark",
@@ -17,6 +19,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    export_pythonpath()  # before the gateway starts: local workers inherit it
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(
@@ -44,4 +47,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_shipped(spark)  # cluster mode / pre-existing JVM: addPyFile zip
     return spark
