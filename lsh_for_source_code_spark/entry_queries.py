@@ -63,10 +63,16 @@ def _docs_as_files(docs: DataFrame) -> DataFrame:
 
 
 def _shingled_signed(docs: DataFrame, cfg: PipelineConfig):
-    shingled = shingle_files(_docs_as_files(docs), k=cfg.shingle_k).select(
-        "file_id", "n_tokens", "shingles", "counts"
+    """Shingle + sign, with both stages persisted: they fan out to multiple
+    consumers (band stats join, candidate self-join, both verify sides) and
+    without a cache Catalyst duplicates the whole scan+UDF subtree per use
+    (observed: 8 parquet scans in the uncached flagship plan)."""
+    shingled = (
+        shingle_files(_docs_as_files(docs), k=cfg.shingle_k)
+        .select("file_id", "n_tokens", "shingles", "counts")
+        .persist()
     )
-    return shingled, sign_files(shingled, cfg)
+    return shingled, sign_files(shingled, cfg).persist()
 
 
 def lsh_verified_pairs(docs: DataFrame, cfg: PipelineConfig, theta: float) -> DataFrame:
@@ -74,7 +80,7 @@ def lsh_verified_pairs(docs: DataFrame, cfg: PipelineConfig, theta: float) -> Da
     shingled, signed = _shingled_signed(docs, cfg)
     bands = band_files(signed, cfg)
     cands = candidate_pairs(bands, cfg)
-    pairs = verify_pairs(cands, shingled, cfg, keep_all=True)
+    pairs = verify_pairs(cands, shingled, cfg, compute_overlap=False)
     return pairs.filter(F.col("jaccard") >= theta).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -239,6 +245,34 @@ def q_top_customer_per_nation(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
     )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation over event time (streaming-shaped op in
+    batch form; watermark semantics live in streaming/incremental.py)."""
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_source_set_ops(spark, sf_dir):
+    """Relational set operations: doc ids present in src1 but not src2-lang
+    overlap (EXCEPT/INTERSECT demo over deterministic subsets)."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    b = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    only_a = a.exceptAll(b).withColumn("op", F.lit("a_minus_b"))
+    both = a.intersectAll(b).withColumn("op", F.lit("a_and_b"))
+    return only_a.unionByName(both)
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
@@ -408,6 +442,8 @@ QUERIES = {
     "quality_score": q_quality_score,
     "normalized_fingerprint": q_normalized_fingerprint,
     "band_occupancy_events": q_band_occupancy_events,
+    "events_hourly": q_events_hourly,
+    "source_set_ops": q_source_set_ops,
     "broadcast_dim_join": q_broadcast_dim_join,
     "agg_lineitem": q_agg_lineitem,
     "top_customer_per_nation": q_top_customer_per_nation,
@@ -508,6 +544,20 @@ ORACLE = {
     "band_occupancy_events": """
         SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         FROM events GROUP BY event_type
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events,
+               round(avg(value), 6) AS avg_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2
+    """,
+    "source_set_ops": """
+        WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+             b AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+        SELECT doc_id, 'a_minus_b' AS op FROM (SELECT doc_id FROM a EXCEPT ALL SELECT doc_id FROM b)
+        UNION ALL
+        SELECT doc_id, 'a_and_b' AS op FROM (SELECT doc_id FROM a INTERSECT ALL SELECT doc_id FROM b)
     """,
     "broadcast_dim_join": """
         SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue

@@ -132,24 +132,28 @@ def join_pair_features(
     candidates: DataFrame, shingled: DataFrame, id_col: str = "file_id"
 ) -> DataFrame:
     """Attach both sides' shingle arrays to candidate pairs. Column-pruned:
-    only (id, shingles, counts, n_tokens) is shuffled, never content."""
+    only (id, shingles, counts, n_tokens, max_count) is shuffled, never
+    content."""
     feat = shingled.select(
         F.col(id_col).alias("fid"),
         F.col("shingles"),
         F.col("counts"),
         F.col("n_tokens"),
+        F.coalesce(F.array_max("counts"), F.lit(0)).alias("maxc"),
     )
     a = feat.select(
         F.col("fid").alias("id_a"),
         F.col("shingles").alias("sh_a"),
         F.col("counts").alias("cn_a"),
         F.col("n_tokens").alias("nt_a"),
+        F.col("maxc").alias("maxc_a"),
     )
     b = feat.select(
         F.col("fid").alias("id_b"),
         F.col("shingles").alias("sh_b"),
         F.col("counts").alias("cn_b"),
         F.col("n_tokens").alias("nt_b"),
+        F.col("maxc").alias("maxc_b"),
     )
     return candidates.join(a, "id_a").join(b, "id_b")
 
@@ -160,22 +164,50 @@ def verify_pairs(
     cfg: PipelineConfig,
     id_col: str = "file_id",
     keep_all: bool = False,
+    compute_overlap: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, jaccard, overlap [, n_shared_bands]) for pairs passing
-    jaccard >= jaccard_threshold OR overlap >= overlap_threshold."""
+    jaccard >= jaccard_threshold OR overlap >= overlap_threshold.
+
+    The Python-side overlap UDF only runs on pairs that can possibly need it:
+    pairs already kept by jaccard (overlap is part of the output contract)
+    plus pairs under a sound JVM-side upper bound,
+        overlap <= min(inter_d * min(maxc), min(nt)) / max(nt)
+    (every shared distinct shingle contributes at most min of the two max
+    per-token counts, and never more than either side's total). Everything
+    else is decided entirely inside whole-stage codegen.
+    """
     joined = join_pair_features(candidates, shingled, id_col)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    out = joined.withColumn("jaccard", jac).withColumn(
-        "overlap",
-        multiset_overlap_udf("sh_a", "cn_a", "sh_b", "cn_b", "nt_a", "nt_b"),
-    )
-    if not keep_all:
-        out = out.filter(
-            (F.col("jaccard") >= cfg.jaccard_threshold)
-            | (F.col("overlap") >= cfg.overlap_threshold)
+    out = joined.withColumn("jaccard", jac)
+
+    if compute_overlap:
+        if not keep_all:
+            # sound prefilter: drop pairs that can't pass either channel
+            bound = F.least(
+                inter * F.least("maxc_a", "maxc_b").cast("double"),
+                F.least("nt_a", "nt_b").cast("double"),
+            ) / F.greatest(F.greatest("nt_a", "nt_b").cast("double"), F.lit(1.0))
+            out = out.filter(
+                (F.col("jaccard") >= cfg.jaccard_threshold)
+                | (bound >= cfg.overlap_threshold)
+            )
+        out = out.withColumn(
+            "overlap",
+            multiset_overlap_udf("sh_a", "cn_a", "sh_b", "cn_b", "nt_a", "nt_b"),
         )
+        if not keep_all:
+            out = out.filter(
+                (F.col("jaccard") >= cfg.jaccard_threshold)
+                | (F.col("overlap") >= cfg.overlap_threshold)
+            )
+    else:
+        out = out.withColumn("overlap", F.lit(None).cast("double"))
+        if not keep_all:
+            out = out.filter(F.col("jaccard") >= cfg.jaccard_threshold)
+
     cols = ["id_a", "id_b", "jaccard", "overlap"]
     if "n_shared_bands" in candidates.columns:
         cols.append("n_shared_bands")

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import time
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lsh_for_source_code_spark.config import PipelineConfig
@@ -47,9 +48,11 @@ class CheckpointStore:
 
     def materialize(self, name: str, df: DataFrame) -> DataFrame:
         """Write-once + read-back; stage output becomes a scan (lineage cut,
-        resume point). Without a root this is a passthrough."""
+        resume point). Without a root, stages are persisted instead so
+        multi-consumer stages (shingled feeds S2 + the verify join; verified
+        feeds the cluster edges and metrics) compute once, not per action."""
         if not self.root:
-            return df
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
         t0 = time.monotonic()
         if not self.has(name):
             df.write.mode("overwrite").parquet(self._path(name))
