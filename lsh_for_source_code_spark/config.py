@@ -34,6 +34,20 @@ def candidate_probability(s: float, bands: int, rows: int) -> float:
     return 1.0 - (1.0 - s**rows) ** bands
 
 
+def signature_size_for_error(error: float) -> int:
+    """Reference O18 (MinHash.java:96-101): size = 1/error^2. The reference's
+    range check is dead code (`error < 0 && error > 1` is always false); we
+    validate properly."""
+    if not 0.0 < error <= 1.0:
+        raise ValueError("error must be in (0, 1]")
+    return int(1.0 / (error * error))
+
+
+def expected_signature_error(size: int) -> float:
+    """Reference O19 (MinHash.java:258-260): expected estimator error 1/sqrt(n)."""
+    return 1.0 / math.sqrt(size)
+
+
 def reference_signature_size(stages: int, threshold: float = 0.5) -> int:
     """Reference sizing rule: r = ceil(ln(1/stages)/ln(threshold)) + 1,
     size = r * stages (LSHMinHash.java:92-96, THRESHOLD=0.5 at :33).
@@ -62,8 +76,11 @@ class PipelineConfig:
 
     # --- thresholds ---
     jaccard_threshold: float = 0.5
-    overlap_threshold: float = 0.5   # multiset overlap >= theta: the reference's
-                                     # reverse-engineered pairing rule (SURVEY.md 2.4)
+    overlap_threshold: float | None = None
+    # multiset overlap >= theta is the reference's reverse-engineered pairing
+    # rule (SURVEY.md 2.4); None disables the channel (the default pipeline's
+    # recall contract is jaccard-based and verification then stays entirely
+    # inside whole-stage codegen). Parity configs set it explicitly.
     containment_threshold: float = 0.8  # LCS-containment channel trigger
 
     # --- skew handling (SURVEY.md 4.3: 300/4632 files in one band group) ---

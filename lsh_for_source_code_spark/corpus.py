@@ -121,10 +121,15 @@ def generate_corpus(n_files: int = 500, seed: int = 1234) -> SyntheticCorpus:
                 rows.append("\n".join(big))
                 truth.append(("containment", fam_id))
                 i += 1
-        else:  # boilerplate: shared header + tiny unique tail (skew driver)
+        else:  # boilerplate: shared 30-line header + unique body (skew driver)
+            # Body is sized so cross-family jaccard stays < 0.5: candidate
+            # generation sees the mega-band skew (shared header shingles
+            # collide in many bands) but verification rejects the pairs --
+            # the real-world license-header pattern. Verified pairs stay
+            # linear in corpus size; candidate pressure does not.
             k = int(rng.integers(3, 8))
             for _ in range(min(k, n_files - i)):
-                tail = _body(rng, 3, f"bp{i}_")
+                tail = _body(rng, 35, f"bp{i}_")
                 rows.append(_BOILERPLATE + "\n" + "\n".join(tail))
                 truth.append(("boilerplate", fam_id))
                 i += 1

@@ -41,7 +41,7 @@ FLAGSHIP_CFG = PipelineConfig(
     bands=64,
     rows_per_band=2,
     jaccard_threshold=FLAGSHIP_THETA,
-    overlap_threshold=2.0,  # disable the overlap channel: jaccard-only query
+    overlap_threshold=None,  # jaccard-only query: verification is pure JVM
     max_bucket_pairs=1_000_000,  # exact all-pairs (oracle-matched query)
 )
 SUBSET_MOD = 5  # flagship runs on doc_id % 5 == 0 (bounds the dense corpus)
@@ -264,6 +264,18 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_json_props(spark, sf_dir):
+    """JSON extraction over the events.props column (get_json_object)."""
+    return (
+        _read(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .filter(F.col("k") > 50)
+    )
+
+
 def q_source_set_ops(spark, sf_dir):
     """Relational set operations: doc ids present in src1 but not src2-lang
     overlap (EXCEPT/INTERSECT demo over deterministic subsets)."""
@@ -443,6 +455,7 @@ QUERIES = {
     "normalized_fingerprint": q_normalized_fingerprint,
     "band_occupancy_events": q_band_occupancy_events,
     "events_hourly": q_events_hourly,
+    "json_props": q_json_props,
     "source_set_ops": q_source_set_ops,
     "broadcast_dim_join": q_broadcast_dim_join,
     "agg_lineitem": q_agg_lineitem,
@@ -551,6 +564,11 @@ ORACLE = {
                round(avg(value), 6) AS avg_value,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2
+    """,
+    "json_props": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
     """,
     "source_set_ops": """
         WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),

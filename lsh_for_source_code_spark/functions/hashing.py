@@ -88,7 +88,7 @@ def minhash_concat(
     offsets: np.ndarray,
     a: np.ndarray,
     b: np.ndarray,
-    max_chunk_elems: int = 1 << 25,
+    max_chunk_elems: int = 1 << 22,
 ) -> np.ndarray:
     """MinHash signatures for a batch of documents stored as one concatenated
     shingle array.
@@ -122,7 +122,12 @@ def minhash_concat(
         e = max(e, d + 1)  # always make progress even for a single huge doc
         lo, hi = offsets[d], offsets[e]
         if hi > lo:
-            hv = (a[:, None] * x[None, lo:hi] + b[:, None]) % P  # (perm, chunk)
+            # in-place ops keep one (perm, chunk) temporary alive instead of
+            # three -- this stage is memory-bandwidth-bound at high thread
+            # counts, so allocation discipline is the scaling lever
+            hv = a[:, None] * x[None, lo:hi]  # (perm, chunk)
+            hv += b[:, None]
+            hv %= P
             starts = (offsets[d:e] - lo).astype(np.int64)
             mins = np.minimum.reduceat(hv, starts, axis=1)  # (perm, e-d)
             # reduceat yields arr[start] for empty segments; mask those out.
@@ -149,21 +154,20 @@ def simhash_concat(
     out = np.zeros(n_docs, dtype=np.int64)
     if len(concat) == 0 or n_docs == 0:
         return out
-    sh = concat.astype(U64)
-    w = counts.astype(np.int64)
-    shifts = np.arange(bits, dtype=np.uint64)
-    bitmat = ((sh[:, None] >> shifts[None, :]) & U64(1)).astype(np.int64)  # (total, bits)
-    weighted = bitmat * w[:, None]
+    sh = concat.astype(U64, copy=False)
+    w = counts.astype(np.int64, copy=False)
     starts = offsets[:-1].astype(np.int64)
-    sums = np.add.reduceat(weighted, starts, axis=0)  # (n_docs, bits)
-    totals = np.add.reduceat(w, starts)
     nonempty = offsets[1:] > offsets[:-1]
-    sums[~nonempty] = 0
+    totals = np.add.reduceat(w, starts)
     totals = np.where(nonempty, totals, 0)
-    votes = (2 * sums > totals[:, None]).astype(np.uint64)
     fp = np.zeros(n_docs, dtype=U64)
-    for j in range(bits):  # 64 iterations, vectorized over docs
-        fp |= votes[:, j] << np.uint64(j)
+    # one 1-D pass per bit: (total,) temporaries stay cache-resident instead
+    # of a (total, 64) int64 matrix (memory-bandwidth killer at 32 threads)
+    for j in range(bits):
+        bit_w = ((sh >> np.uint64(j)) & U64(1)).view(np.int64) * w
+        sums = np.add.reduceat(bit_w, starts)
+        votes = (2 * sums > totals) & nonempty
+        fp |= votes.astype(U64) << np.uint64(j)
     return fp.view(np.int64)
 
 

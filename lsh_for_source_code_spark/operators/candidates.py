@@ -26,6 +26,7 @@ the hot key costs one reducer O(k) -- never O(k^2).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from lsh_for_source_code_spark.config import PipelineConfig
 
@@ -52,10 +53,21 @@ def bucket_occupancy(bands: DataFrame, top_k: int = 100) -> DataFrame:
 def candidate_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(id_a, id_b, n_shared_bands) with id_a < id_b.
 
+    Bucket size + anchor come from ONE window pass over the band key (a
+    single shuffle; the window sort doubles as the self-join-side sort), and
+    the tagged table is persisted because three consumers read it (both
+    sides of the small-bucket self-join + the mega/star path) -- without the
+    cache Catalyst re-evaluates the whole upstream per consumer.
+
     The final groupBy both deduplicates pairs discovered in multiple bands
     and records how many bands agreed (a cheap confidence signal)."""
-    stats = bucket_stats(bands)
-    tagged = bands.join(stats, on=BAND_KEY)  # co-partitioned with the groupBy
+    w = Window.partitionBy(*BAND_KEY)
+    tagged = bands.select(
+        *BAND_KEY,
+        "file_id",
+        F.count("*").over(w).alias("sz"),
+        F.min("file_id").over(w).alias("anchor"),
+    ).persist()
 
     small = tagged.filter(
         (F.col("sz") >= 2) & (F.col("sz") <= cfg.max_bucket_pairs)

@@ -49,6 +49,16 @@ def connected_components(
         )
     labels = labels.localCheckpoint(eager=True)
 
+    # Convergence detector: min-propagation only ever lowers labels, so the
+    # exact decimal sum of labels strictly decreases until the fixpoint --
+    # one tiny aggregation per iteration instead of a join + count.
+    def label_sum(df) -> int:
+        row = df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()
+        return int(row.s or 0)
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         # neighbor labels: for each dst, the labels of its neighbors' srcs
         msgs = sym.join(
@@ -60,16 +70,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias("file_id"), F.col("label").alias("cluster_id"))
 
 

@@ -129,33 +129,38 @@ def lcs_containment_udf(content_a: pd.Series, content_b: pd.Series) -> pd.Series
 
 
 def join_pair_features(
-    candidates: DataFrame, shingled: DataFrame, id_col: str = "file_id"
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "file_id",
+    with_counts: bool = True,
 ) -> DataFrame:
     """Attach both sides' shingle arrays to candidate pairs. Column-pruned:
-    only (id, shingles, counts, n_tokens, max_count) is shuffled, never
-    content."""
-    feat = shingled.select(
-        F.col(id_col).alias("fid"),
-        F.col("shingles"),
-        F.col("counts"),
-        F.col("n_tokens"),
-        F.coalesce(F.array_max("counts"), F.lit(0)).alias("maxc"),
-    )
-    a = feat.select(
-        F.col("fid").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("counts").alias("cn_a"),
-        F.col("n_tokens").alias("nt_a"),
-        F.col("maxc").alias("maxc_a"),
-    )
-    b = feat.select(
-        F.col("fid").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("counts").alias("cn_b"),
-        F.col("n_tokens").alias("nt_b"),
-        F.col("maxc").alias("maxc_b"),
-    )
-    return candidates.join(a, "id_a").join(b, "id_b")
+    only (id, shingles[, counts, n_tokens, max_count]) moves, never content.
+    `with_counts=False` (jaccard-only verification) halves the join payload.
+
+    Join strategy is left to Catalyst/AQE: at moderate scale the feature
+    table broadcasts (no shuffle of the pair table at all); at corpus scale
+    it degrades to sort-merge with AQE skew splitting."""
+    cols = [F.col(id_col).alias("fid"), F.col("shingles")]
+    if with_counts:
+        cols += [
+            F.col("counts"),
+            F.col("n_tokens"),
+            F.coalesce(F.array_max("counts"), F.lit(0)).alias("maxc"),
+        ]
+    feat = shingled.select(*cols)
+
+    def side(suffix: str, id_name: str):
+        sel = [F.col("fid").alias(id_name), F.col("shingles").alias(f"sh_{suffix}")]
+        if with_counts:
+            sel += [
+                F.col("counts").alias(f"cn_{suffix}"),
+                F.col("n_tokens").alias(f"nt_{suffix}"),
+                F.col("maxc").alias(f"maxc_{suffix}"),
+            ]
+        return feat.select(*sel)
+
+    return candidates.join(side("a", "id_a"), "id_a").join(side("b", "id_b"), "id_b")
 
 
 def verify_pairs(
@@ -177,7 +182,12 @@ def verify_pairs(
     per-token counts, and never more than either side's total). Everything
     else is decided entirely inside whole-stage codegen.
     """
-    joined = join_pair_features(candidates, shingled, id_col)
+    compute_overlap = compute_overlap and (
+        keep_all or cfg.overlap_threshold is not None
+    )
+    joined = join_pair_features(
+        candidates, shingled, id_col, with_counts=compute_overlap
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -31,11 +31,26 @@ from lsh_for_source_code_spark.operators.verify import verify_pairs
 
 
 class CheckpointStore:
-    """Parquet-directory checkpoint store (Iceberg stand-in, same contract)."""
+    """Parquet-directory checkpoint store (Iceberg stand-in, same contract).
 
-    def __init__(self, spark: SparkSession, root: str | None):
+    With a root, every computed stage also writes a per-partition lineage
+    fingerprint (`<stage>__partitions`: partition_id, rows, bytes_est) and
+    records an event in the run's `RunMetrics` ledger (north_rule:
+    per-partition lineage + metrics)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | None,
+        metrics=None,
+        lineage: bool = True,
+    ):
+        from lsh_for_source_code_spark.plans.metrics import RunMetrics
+
         self.spark = spark
         self.root = root
+        self.metrics = metrics or RunMetrics()
+        self.lineage = lineage and bool(root)
         self.log: list[dict] = []
 
     def _path(self, name: str) -> str:
@@ -56,12 +71,32 @@ class CheckpointStore:
         t0 = time.monotonic()
         if not self.has(name):
             df.write.mode("overwrite").parquet(self._path(name))
-            self.log.append(
-                {"stage": name, "action": "computed", "wall_s": time.monotonic() - t0}
-            )
-        else:
-            self.log.append({"stage": name, "action": "resumed", "wall_s": 0.0})
+            out = self.spark.read.parquet(self._path(name))
+            if self.lineage:
+                from lsh_for_source_code_spark.plans.metrics import partition_stats
+
+                pstats = partition_stats(out)
+                pstats.write.mode("overwrite").parquet(self._path(name + "__partitions"))
+                rows = int(
+                    self.spark.read.parquet(self._path(name + "__partitions"))
+                    .groupBy()
+                    .sum("rows")
+                    .first()[0]
+                    or 0
+                )
+            else:
+                rows = None
+            wall = time.monotonic() - t0
+            self.log.append({"stage": name, "action": "computed", "wall_s": wall})
+            self.metrics.record(name, "computed", rows=rows, wall_s=round(wall, 3))
+            return out
+        self.log.append({"stage": name, "action": "resumed", "wall_s": 0.0})
+        self.metrics.record(name, "resumed")
         return self.spark.read.parquet(self._path(name))
+
+    def finish(self):
+        if self.root:
+            self.metrics.write(self.spark, self.root)
 
 
 def with_file_id(code_files: DataFrame) -> DataFrame:
@@ -78,7 +113,11 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     with_containment: bool = False,
 ) -> dict[str, DataFrame]:
-    store = CheckpointStore(spark, checkpoint_dir)
+    from lsh_for_source_code_spark.plans.metrics import RunMetrics
+
+    store = CheckpointStore(
+        spark, checkpoint_dir, metrics=RunMetrics(config_id=cfg.config_id)
+    )
 
     ids = with_file_id(code_files)
 
@@ -124,9 +163,10 @@ def run_pipeline(
         from lsh_for_source_code_spark.operators.verify import add_lcs_containment
 
         loose = verify_pairs(cands, shingled, cfg, keep_all=True).filter(
-            (F.col("jaccard") < cfg.jaccard_threshold)
-            & (F.col("overlap") < cfg.overlap_threshold)
+            F.col("jaccard") < cfg.jaccard_threshold
         )
+        if cfg.overlap_threshold is not None:
+            loose = loose.filter(F.col("overlap") < cfg.overlap_threshold)
         contain = add_lcs_containment(loose, ids).filter(
             F.col("lcs_containment") >= cfg.containment_threshold
         )
@@ -144,6 +184,7 @@ def run_pipeline(
         "clusters",
         connected_components(edges, nodes=shingled.select("file_id")),
     )
+    store.finish()
 
     return {
         "files_shingled": shingled,

@@ -33,12 +33,32 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Band/pair rows are narrow (tens of bytes) but downstream work per
+        # row is heavy (self-joins, window sorts, array intersections). The
+        # default 64 MB advisory size makes AQE coalesce those shuffles to
+        # 1-2 partitions and serialize the heavy stages (measured: candidate
+        # stage 17.5s -> 8.3s at local[32] with proper parallelism). 8 MB
+        # keeps post-shuffle parallelism while still merging tiny partitions.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow everywhere: every Python boundary is a vectorized pandas UDF.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode: driver == the one executor; size the heap for
+        # n_threads concurrent tasks (shingle arrays are heap-resident
+        # during shuffles). Overridable for real cluster deployments.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # The verify stage joins the (file_id, shingles) feature table to the
+        # candidate pairs. When that side fits, a broadcast join avoids
+        # sorting wide array rows -- SMJ sorts of array payloads are memory-
+        # bandwidth-bound and scale INVERSELY with threads on one box
+        # (measured: 10.3s @8 -> 24.3s @32 threads for the same join as SMJ,
+        # 9-10s flat as broadcast). Real clusters add bandwidth with
+        # executors; a single box does not, so prefer broadcast locally.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", str(256 * 1024 * 1024)),
+        )
         # ANSI off: we rely on permissive casts in a few hash expressions.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")
