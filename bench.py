@@ -28,7 +28,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "50000"))
+BENCH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "200000"))
 CORPUS_SEED = 91
 
 HEADLINE = [
@@ -129,6 +129,25 @@ def pipeline_only():
     print("PIPELINE_RESULT " + json.dumps(res))
 
 
+def _hw_cpu_light(_):
+    import numpy as np
+
+    x = np.arange(100_000, dtype=np.uint64)
+    s = 0
+    for _ in range(300):
+        s += int(((x * 2862933555777941757 + 3037000493) % 1234567891).sum())
+    return s
+
+
+def _hw_mem_heavy(_):
+    import numpy as np
+
+    x = np.zeros(50_000_000, dtype=np.uint64)
+    for _ in range(6):
+        x += 3
+    return int(x[0])
+
+
 def _hardware_baseline() -> dict:
     """Raw process-level scaling ceiling of this VM, measured with plain
     numpy (no Spark): tasks/sec at each proc count for a cache-resident and
@@ -139,23 +158,8 @@ def _hardware_baseline() -> dict:
     cluster multiplies bandwidth with nodes."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def cpu_light(_):
-        x = np.arange(100_000, dtype=np.uint64)
-        s = 0
-        for _ in range(300):
-            s += int(((x * 2862933555777941757 + 3037000493) % 1234567891).sum())
-        return s
-
-    def mem_heavy(_):
-        x = np.zeros(50_000_000, dtype=np.uint64)
-        for _ in range(6):
-            x += 3
-        return int(x[0])
-
     out = {}
-    for name, fn in [("cpu_light", cpu_light), ("mem_heavy", mem_heavy)]:
+    for name, fn in [("cpu_light", _hw_cpu_light), ("mem_heavy", _hw_mem_heavy)]:
         tp = {}
         for n in (2, 8, 32):
             t0 = time.monotonic()

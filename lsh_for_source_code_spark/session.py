@@ -63,6 +63,14 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
+    # Throughput-oriented GC: this is a batch engine with high allocation
+    # rates; JDK17's default G1 runs concurrent cycles that contend with all
+    # N worker threads (measured at local[32]: 167s -> 87s wall for the
+    # same 200k-file pipeline when switching to ParallelGC).
+    if os.environ.get("SPARK_GRAFT_GC", "parallel") == "parallel":
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", "-XX:+UseParallelGC"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -191,6 +191,24 @@ def test_connected_components_chain_star_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
 
 
+def test_connected_components_distributed_path_matches_driver_path(spark):
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 3, 10, 10], "id_b": [2, 3, 4, 11, 12]})
+    )
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"file_id": list(range(1, 5)) + [10, 11, 12, 99]})
+    )
+    via_driver = {
+        (r.file_id, r.cluster_id)
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    via_labelprop = {
+        (r.file_id, r.cluster_id)
+        for r in connected_components(edges, nodes=nodes, driver_max_edges=0).collect()
+    }
+    assert via_driver == via_labelprop
+
+
 def test_clusters_to_pairs(spark):
     clusters = spark.createDataFrame(
         pd.DataFrame({"file_id": [1, 2, 3, 9], "cluster_id": [1, 1, 1, 9]})
