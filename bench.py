@@ -101,7 +101,7 @@ def main():
         timings[name] = round(time.monotonic() - t0, 3)
 
     pipe = run_pipeline_bench(spark)
-    timings["code_dedup_pipeline_20k"] = pipe["wall_sec"]
+    timings[f"code_dedup_pipeline_{BENCH_FILES // 1000}k"] = pipe["wall_sec"]
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)

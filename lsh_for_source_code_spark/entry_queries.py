@@ -292,11 +292,15 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     same source whose word-bigram sets overlap >= 0.3."""
     docs = _read(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
+    # bigrams hashed to int64 (xxhash64) before the set ops: long-array
+    # intersection is far cheaper than string-array intersection, and
+    # jaccard is preserved (collision prob ~|grams|^2/2^64, invisible
+    # at round(.,6))
     grams = F.array_distinct(
         F.zip_with(
             F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
             F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda a, b: F.concat_ws("", a, b),
+            lambda a, b: F.xxhash64(F.concat_ws("", a, b)),
         )
     )
     g = docs.select("doc_id", "source", grams.alias("grams"))
