@@ -26,7 +26,6 @@ the hot key costs one reducer O(k) -- never O(k^2).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from lsh_for_source_code_spark.config import PipelineConfig
 
@@ -53,21 +52,32 @@ def bucket_occupancy(bands: DataFrame, top_k: int = 100) -> DataFrame:
 def candidate_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(id_a, id_b, n_shared_bands) with id_a < id_b.
 
-    Bucket size + anchor come from ONE window pass over the band key (a
-    single shuffle; the window sort doubles as the self-join-side sort), and
-    the tagged table is persisted because three consumers read it (both
-    sides of the small-bucket self-join + the mega/star path) -- without the
-    cache Catalyst re-evaluates the whole upstream per consumer.
+    Bucket size + anchor come from a SALTED two-level aggregation
+    (north_rule: salted repartitioning for mega-band skew): level 1 groups
+    by (band_key, salt = hash(file_id) mod salt_partitions), so a mega
+    bucket's rows spread over `salt_partitions` reducers instead of one;
+    level 2 merges the per-salt partials (tiny). Both levels get map-side
+    partial aggregation, so even a 10^8-member boilerplate band costs
+    O(k / salt_partitions) per reducer, never O(k^2).
+
+    The stats join back onto bands routes the hot key to one reducer but is
+    linear and AQE skew-split eligible. The tagged table is persisted
+    because three consumers read it (both sides of the small-bucket
+    self-join + the mega/star path) -- without the cache Catalyst
+    re-evaluates the whole upstream per consumer.
 
     The final groupBy both deduplicates pairs discovered in multiple bands
     and records how many bands agreed (a cheap confidence signal)."""
-    w = Window.partitionBy(*BAND_KEY)
-    tagged = bands.select(
-        *BAND_KEY,
-        "file_id",
-        F.count("*").over(w).alias("sz"),
-        F.min("file_id").over(w).alias("anchor"),
-    ).persist()
+    salted = bands.withColumn(
+        "_salt", F.pmod(F.xxhash64("file_id"), F.lit(cfg.salt_partitions))
+    )
+    sub = salted.groupBy(*BAND_KEY, "_salt").agg(
+        F.count("*").alias("_c"), F.min("file_id").alias("_m")
+    )
+    stats = sub.groupBy(*BAND_KEY).agg(
+        F.sum("_c").alias("sz"), F.min("_m").alias("anchor")
+    )
+    tagged = bands.join(stats, on=BAND_KEY).persist()
 
     small = tagged.filter(
         (F.col("sz") >= 2) & (F.col("sz") <= cfg.max_bucket_pairs)

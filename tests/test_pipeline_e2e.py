@@ -183,6 +183,56 @@ def test_partial_resume_after_simulated_kill(spark, tmp_path):
     assert got == expect
 
 
+def test_pipeline_containment_channel_e2e(spark):
+    """A seed embedded verbatim in a 7x larger host is below the jaccard bar
+    but must be recovered when the containment channel is enabled."""
+    import pandas as pd
+
+    # host ~3x the seed: pair jaccard ~0.33 (below theta=0.5 -> plain
+    # pipeline rejects) while P(LSH candidate | 0.33) > 0.999 with b=64,r=2
+    # (the containment channel only rescores existing candidates)
+    inner = "\n".join(f"int v{i} = compute_{i}(x{i});" for i in range(40))
+    host = (
+        "\n".join(f"String h{i} = load_{i}();" for i in range(45))
+        + "\n" + inner + "\n"
+        + "\n".join(f"double t{i} = sum_{i}();" for i in range(45))
+    )
+    others = [
+        "\n".join(f"long z{i}_{j} = mix_{i}_{j}();" for i in range(30))
+        for j in range(6)
+    ]
+    contents = [inner, host] + others
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "repo": ["r"] * len(contents),
+                "path": [f"p{i}" for i in range(len(contents))],
+                "commit": ["c"] * len(contents),
+                "lang": ["java"] * len(contents),
+                "content": contents,
+            }
+        )
+    )
+    cfg = PipelineConfig(containment_threshold=0.8)
+    plain = run_pipeline(spark, df, cfg)
+    ids = {r.path: r.file_id for r in with_file_id(df).select("path", "file_id").collect()}
+    pair = tuple(sorted([ids["p0"], ids["p1"]]))
+    plain_pairs = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in plain["verified_pairs"].collect()
+    }
+    assert pair not in plain_pairs  # jaccard alone misses the containment dup
+
+    withc = run_pipeline(spark, df, cfg, with_containment=True)
+    withc_pairs = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in withc["verified_pairs"].collect()
+    }
+    assert pair in withc_pairs
+    cl = {r.file_id: r.cluster_id for r in withc["clusters"].collect()}
+    assert cl[ids["p0"]] == cl[ids["p1"]]
+
+
 def test_lcs_containment_channel(spark):
     """Containment dups (seed embedded in 3-10x larger host) are below the
     jaccard/overlap bar but caught by the LCS channel."""
