@@ -327,6 +327,24 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_kgram_profile(spark, sf_dir):
+    """k=3 shingle profile per document, computed by the engine's shingle
+    UDF (hashed k-grams) and oracle-checked against string trigrams in SQL
+    -- validates the k>1 windowing contract (SURVEY.md 2.3)."""
+    from lsh_for_source_code_spark.functions.tokenize import make_shingle_udf
+
+    udf = make_shingle_udf(k=3, min_freq=0)
+    docs = _read(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "_sh", udf(F.coalesce("text", F.lit("")))
+    ).select(
+        "doc_id",
+        F.col("_sh.n_tokens").alias("n_tokens"),
+        F.greatest(F.col("_sh.n_tokens") - 2, F.lit(0)).alias("n_trigrams"),
+        F.size(F.col("_sh.shingles")).alias("n_distinct_trigrams"),
+    )
+
+
 def q_near_dup_pairs(spark, sf_dir):
     """FLAGSHIP: full LSH pipeline (shingle -> minhash-128 -> 64x2 banding ->
     candidates -> exact verify) on the doc_id %% 5 == 0 subset, theta=0.9.
@@ -465,6 +483,7 @@ QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "top_customer_per_nation": q_top_customer_per_nation,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "kgram_profile": q_kgram_profile,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "minhash_signatures": q_minhash_signatures,
@@ -623,6 +642,20 @@ ORACLE = {
                 THEN len(list_intersect(a.grams, b.grams))::DOUBLE
                      / len(list_distinct(a.grams || b.grams))
                 ELSE 0.0 END >= 0.3
+    """,
+    "kgram_profile": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}') AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               greatest(len(toks) - 2, 0) AS n_trigrams,
+               len(list_distinct([toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2]
+                                  FOR i IN range(1, greatest(len(toks) - 1, 1))]))
+                 AS n_distinct_trigrams
+        FROM t
     """,
     "near_dup_pairs": f"""
         WITH toks AS (
