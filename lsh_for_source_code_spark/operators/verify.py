@@ -64,67 +64,96 @@ def multiset_overlap_udf(
     return pd.Series(np.where(denom > 0, inter / np.maximum(denom, 1.0), 0.0))
 
 
+_LCS_P1, _LCS_B1 = (1 << 31) - 1, 131  # Mersenne prime 2^31-1
+_LCS_P2, _LCS_B2 = (1 << 31) - 19, 137
+
+
+class _RollingHasher:
+    """Vectorized double rolling hash over one byte string.
+
+    Uses T[i] = sum_{j<i} c[j] * B^{-j} mod p, computed as a plain int64
+    cumsum (values < 2^31, so up to 2^32 terms cannot overflow) followed by
+    one mod -- no Python-int loop over characters. A window hash is then
+    H(s, L) = (T[s+L] - T[s]) * B^{s+L-1} mod p, all numpy elementwise.
+    Two independent (p, B) pairs are combined into one 62-bit key so a
+    collision requires agreeing in both fields."""
+
+    def __init__(self, codes: np.ndarray):
+        self.n = len(codes)
+        c = codes.astype(np.int64)
+        self._t1, self._inv_pow1, self._pow1 = self._tables(c, _LCS_P1, _LCS_B1)
+        self._t2, self._inv_pow2, self._pow2 = self._tables(c, _LCS_P2, _LCS_B2)
+
+    @staticmethod
+    def _tables(c: np.ndarray, p: int, b: int):
+        n = len(c)
+        binv = pow(b, p - 2, p)  # Fermat inverse
+        pows = np.empty(n + 1, dtype=np.int64)
+        inv_pows = np.empty(n + 1, dtype=np.int64)
+        pows[0] = inv_pows[0] = 1
+        # O(n) scalar loop over *python ints* only for the power tables --
+        # one multiply per element; the per-probe work below is pure numpy
+        pv = iv = 1
+        for i in range(1, n + 1):
+            pv = (pv * b) % p
+            iv = (iv * binv) % p
+            pows[i] = pv
+            inv_pows[i] = iv
+        t = np.zeros(n + 1, dtype=np.int64)
+        if n:
+            contrib = (c % p) * inv_pows[:n] % p  # products < 2^62: exact
+            np.cumsum(contrib, out=t[1:])  # sums < 2^31 * n: exact for n < 2^32
+            t %= p
+        return t, inv_pows, pows
+
+    def window_keys(self, L: int) -> np.ndarray:
+        """62-bit combined hash of every length-L window, vectorized."""
+        s = np.arange(self.n - L + 1)
+
+        def h(t, pows, p):
+            diff = (t[s + L] - t[s]) % p
+            return diff * pows[s + L - 1] % p
+
+        k1 = h(self._t1, self._pow1, _LCS_P1)
+        k2 = h(self._t2, self._pow2, _LCS_P2)
+        return (k1 << np.int64(31)) | k2
+
+
+def _lcs_len(ca: np.ndarray, cb: np.ndarray) -> int:
+    """Binary search on the LCS length; each probe intersects the two
+    windows' double-hash key sets. O(n log n) with numpy probes."""
+    if len(ca) == 0 or len(cb) == 0:
+        return 0
+    ha, hb = _RollingHasher(ca), _RollingHasher(cb)
+    lo, hi = 0, min(len(ca), len(cb))  # invariant: LCS >= lo, <= hi
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if len(np.intersect1d(ha.window_keys(mid), hb.window_keys(mid))) > 0:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
 @pandas_udf(DoubleType())
 def lcs_containment_udf(content_a: pd.Series, content_b: pd.Series) -> pd.Series:
     """Longest-common-substring containment: lcs_len / min(len_a, len_b).
 
     Suffix-structure channel for containment dups (north_star; no reference
     counterpart -- the overlap>=theta rule punishes size mismatch,
-    SURVEY.md 2.4). Implemented as binary search on the LCS length with
-    polynomial rolling hashes; each probe intersects the two windows' hash
-    sets (numpy, vectorized per document pair). O(n log n) per pair.
-    """
-
-    MOD = (1 << 61) - 1
-    BASE = 131
-
-    def window_hashes(codes: np.ndarray, L: int, pows: np.ndarray) -> np.ndarray:
-        # prefix[i] = hash of codes[:i]; window hash via prefix difference
-        n = len(codes)
-        pref = np.zeros(n + 1, dtype=object)  # python ints: exact mod-p math
-        h = 0
-        # Horner over the array; loop length n but pure int ops (no alloc)
-        pl = pref
-        for i in range(n):
-            h = (h * BASE + int(codes[i])) % MOD
-            pl[i + 1] = h
-        starts = np.arange(0, n - L + 1)
-        pL = pows[L]
-        out = np.fromiter(
-            ((pl[s + L] - pl[s] * pL) % MOD for s in starts),
-            dtype=np.int64,
-            count=len(starts),
-        )
-        return out
-
-    def lcs_len(a: str, b: str) -> int:
-        ca = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
-        cb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
-        if len(ca) == 0 or len(cb) == 0:
-            return 0
-        maxlen = min(len(ca), len(cb))
-        pows = [1] * (maxlen + 1)
-        for i in range(1, maxlen + 1):
-            pows[i] = (pows[i - 1] * BASE) % MOD
-        lo, hi = 0, maxlen  # invariant: LCS >= lo, <= hi
-        while lo < hi:
-            mid = (lo + hi + 1) // 2
-            ha = window_hashes(ca, mid, pows)
-            hb = window_hashes(cb, mid, pows)
-            if len(np.intersect1d(ha, hb)) > 0:
-                lo = mid
-            else:
-                hi = mid - 1
-        return lo
-
+    SURVEY.md 2.4). Binary search on the LCS length with vectorized double
+    rolling hashes (see _RollingHasher); runs only on the small pair set
+    that survives candidate generation but fails the jaccard bar."""
     out = np.zeros(len(content_a), dtype=np.float64)
     for i, (a, b) in enumerate(zip(content_a, content_b)):
         if not a or not b:
             continue
-        m = min(len(a.encode("utf-8")), len(b.encode("utf-8")))
+        ca = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+        cb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+        m = min(len(ca), len(cb))
         if m == 0:
             continue
-        out[i] = lcs_len(a, b) / m
+        out[i] = _lcs_len(ca, cb) / m
     return pd.Series(out)
 
 
