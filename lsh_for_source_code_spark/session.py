@@ -67,6 +67,11 @@ def get_spark(
     # rates; JDK17's default G1 runs concurrent cycles that contend with all
     # N worker threads (measured at local[32]: 167s -> 87s wall for the
     # same 200k-file pipeline when switching to ParallelGC).
+    if os.environ.get("SPARK_GRAFT_SHJ"):
+        # experiment knob: prefer shuffled hash join over sort-merge --
+        # parallel per-partition hash build, no sorting of wide array rows,
+        # no driver-side broadcast construction
+        builder = builder.config("spark.sql.join.preferSortMergeJoin", "false")
     if os.environ.get("SPARK_GRAFT_GC", "parallel") == "parallel":
         builder = builder.config(
             "spark.driver.extraJavaOptions", "-XX:+UseParallelGC"
