@@ -265,6 +265,9 @@ def _write_bench_md(results: dict, eff: float, eff_8_32: float, hw: dict):
         "",
         "Correctness invariance: verified-pair and cluster counts are",
         "identical at every parallelism level (same input, seed, config).",
+        "",
+        "See BENCH_NOTES.md for the cross-window host-variance analysis and",
+        "join-strategy comparisons (stable across --scaling reruns).",
     ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
