@@ -62,6 +62,8 @@ def run_pipeline_bench(spark) -> dict:
     from lsh_for_source_code_spark.config import PipelineConfig
     from lsh_for_source_code_spark.plans.pipeline import run_pipeline
 
+    from lsh_for_source_code_spark.caching import release_all
+
     path = _corpus_parquet(spark)
     df = spark.read.parquet(path)
     cfg = PipelineConfig()
@@ -70,6 +72,7 @@ def run_pipeline_bench(spark) -> dict:
     n_pairs = out["verified_pairs"].count()
     n_clusters = out["clusters"].select("cluster_id").distinct().count()
     wall = time.monotonic() - t0
+    release_all()
     return {
         "n_files": BENCH_FILES,
         "wall_sec": round(wall, 2),
@@ -93,12 +96,15 @@ def main():
     spark = make_spark(CPUS)
     import __spark_entry__ as entry_mod
 
+    from lsh_for_source_code_spark.caching import release_all
+
     qs = entry_mod.queries()
     timings = {}
     for name in HEADLINE:
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+        release_all()  # per-query cache lifetime (ADVICE r1: persist leak)
 
     pipe = run_pipeline_bench(spark)
     timings[f"code_dedup_pipeline_{BENCH_FILES // 1000}k"] = pipe["wall_sec"]

@@ -92,6 +92,11 @@ class PipelineConfig:
     shuffle_partitions: int = 32
     simhash_bits: int = 64
     simhash_hamming_max: int = 3
+    simhash_max_block: int = 1024
+    # blocks (16-bit fingerprint slices) with more members than this emit
+    # star-topology pairs against the min-id anchor instead of all pairs --
+    # the same mega-bucket defense as max_bucket_pairs on the MinHash path
+    # (a boilerplate-heavy block value would otherwise go O(k^2)).
 
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 

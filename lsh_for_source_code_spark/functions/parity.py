@@ -146,10 +146,20 @@ def parity_pipeline(
     sig_udf = make_parity_signature_udf(sig_size, dict_size, seed)
     signed = sets.withColumn("signature", sig_udf("ids"))
     rows = sig_size // stages
+    rem = sig_size % stages
     band = F.transform(
         F.sequence(F.lit(0), F.lit(stages - 1)),
+        # remainder signature positions clamp into the LAST stage, matching
+        # the reference (LSH.java:56 caps stage at stages-1) and this
+        # module's own reference_band_hash.
         lambda b: F.aggregate(
-            F.slice("signature", b * F.lit(rows) + 1, rows),
+            F.slice(
+                "signature",
+                b * F.lit(rows) + 1,
+                F.when(b == F.lit(stages - 1), F.lit(rows + rem)).otherwise(
+                    F.lit(rows)
+                ),
+            ),
             F.lit(0).cast("long"),
             lambda acc, x: (acc + x.cast("long") * F.lit(REFERENCE_BAND_PRIME))
             % F.lit(buckets),

@@ -67,7 +67,9 @@ class CheckpointStore:
         multi-consumer stages (shingled feeds S2 + the verify join; verified
         feeds the cluster edges and metrics) compute once, not per action."""
         if not self.root:
-            return df.persist(StorageLevel.MEMORY_AND_DISK)
+            from lsh_for_source_code_spark.caching import track
+
+            return track(df.persist(StorageLevel.MEMORY_AND_DISK))
         t0 = time.monotonic()
         if not self.has(name):
             df.write.mode("overwrite").parquet(self._path(name))
@@ -99,11 +101,27 @@ class CheckpointStore:
             self.metrics.write(self.spark, self.root)
 
 
-def with_file_id(code_files: DataFrame) -> DataFrame:
-    """Stable 64-bit id from the natural key (input_hint columns)."""
-    return code_files.withColumn(
-        "file_id", F.xxhash64("repo", "path", "commit")
-    )
+def with_file_id(code_files: DataFrame, check_collisions: bool = False) -> DataFrame:
+    """Stable 64-bit id from the natural key (input_hint columns).
+
+    64-bit ids birthday-collide with near certainty at ~2^32 distinct keys
+    (ADVICE r1); a production run at 10^12 files must either switch to a
+    128-bit key (sha2 split into two longs) or run the collision audit:
+    `check_collisions=True` compares count(distinct natural key) against
+    count(distinct file_id) in ONE aggregate job and raises on mismatch.
+    Off by default -- it costs a full pass over the input."""
+    out = code_files.withColumn("file_id", F.xxhash64("repo", "path", "commit"))
+    if check_collisions:
+        row = out.agg(
+            F.countDistinct("repo", "path", "commit").alias("nk"),
+            F.countDistinct("file_id").alias("ni"),
+        ).first()
+        if row.nk != row.ni:
+            raise RuntimeError(
+                f"file_id collision: {row.nk} natural keys -> {row.ni} ids; "
+                "switch to a 128-bit id for this corpus"
+            )
+    return out
 
 
 def run_pipeline(

@@ -19,13 +19,14 @@ from lsh_for_source_code_spark.functions.hashing import (
 
 def naive_minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Reference-semantics scalar oracle: sig[i] = min_x (a_i*x + b_i) mod P
-    (MinHash.java:195-226 with P instead of dict_size)."""
+    (MinHash.java:195-226 with P instead of dict_size), full 64-bit x in
+    exact Python big-int arithmetic."""
     P = MERSENNE_61
     out = np.full(len(a), EMPTY_SIG, dtype=np.uint64)
     for i in range(len(a)):
         best = None
         for x in shingles:
-            v = (int(a[i]) * (int(x) & 0xFFFFFFFF) + int(b[i])) % P
+            v = (int(a[i]) * int(x) + int(b[i])) % P
             best = v if best is None else min(best, v)
         if best is not None:
             out[i] = best
@@ -133,3 +134,45 @@ def test_java_random_properties():
     assert seq1 == seq2
     assert all(0 <= v < 1000 for v in seq1)
     assert len(set(seq1)) > 30  # not degenerate
+
+
+def test_trailing_empty_doc_minhash_and_simhash():
+    """A doc with an empty shingle set as the LAST doc of a batch/chunk must
+    not crash reduceat (ADVICE r1, high): its segment start equals the concat
+    length. Covers first, middle, and trailing empties."""
+    rng = np.random.default_rng(4)
+    a, b = minhash_coefficients(8, seed=11)
+    docs = [
+        np.empty(0, dtype=np.uint64),
+        rng.integers(0, 1 << 63, size=7, dtype=np.uint64),
+        np.empty(0, dtype=np.uint64),
+        rng.integers(0, 1 << 63, size=3, dtype=np.uint64),
+        np.empty(0, dtype=np.uint64),  # trailing empty: the crash case
+    ]
+    offsets = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in docs], out=offsets[1:])
+    concat = np.concatenate([d for d in docs if len(d)])
+    sigs = minhash_concat(concat, offsets, a, b)
+    for d, doc in enumerate(docs):
+        assert np.array_equal(sigs[d], naive_minhash(doc, a, b)), f"doc {d}"
+    # also exercise the chunked path with a trailing empty inside each chunk
+    tiny = minhash_concat(concat, offsets, a, b, max_chunk_elems=16)
+    assert np.array_equal(sigs, tiny)
+
+    counts = np.ones(len(concat), dtype=np.int64)
+    fp = simhash_concat(concat, counts, offsets)
+    assert fp[0] == 0 and fp[2] == 0 and fp[4] == 0
+    assert fp[1] != 0 and fp[3] != 0
+
+
+def test_minhash_full_64bit_input_distinguishes_high_bits():
+    """Shingles differing only above bit 32 must hash differently (the old
+    low-32-bit truncation made them MinHash-identical; VERDICT r1 wrong#3)."""
+    a, b = minhash_coefficients(16, seed=3)
+    lo = np.array([12345], dtype=np.uint64)
+    hi = np.array([12345 + (1 << 40)], dtype=np.uint64)
+    offsets = np.array([0, 1, 2], dtype=np.int64)
+    sigs = minhash_concat(np.concatenate([lo, hi]), offsets, a, b)
+    assert not np.array_equal(sigs[0], sigs[1])
+    assert np.array_equal(sigs[0], naive_minhash(lo, a, b))
+    assert np.array_equal(sigs[1], naive_minhash(hi, a, b))

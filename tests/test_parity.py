@@ -216,3 +216,30 @@ def test_parity_pipeline_matches_java_oracle_end_to_end(spark, tokenfile_df, ora
     ):
         assert result[fid][0] == jsig, fid
         assert result[fid][1] == jband, fid
+
+
+def test_parity_pipeline_band_hash_non_divisible_sig_size(spark, tokenfile_df, oracle_bin):
+    """sig_size % stages != 0: remainder rows clamp into the LAST stage
+    (LSH.java:56). ADVICE r1: the SQL band slice used to drop them."""
+    sparsity, stages, buckets, sig_size, seed = 5, 10, 10, 53, 42
+    result = {
+        r.fileid: (list(r.signature), list(r.band_hashes))
+        for r in parity_pipeline(
+            tokenfile_df, sparsity, stages, buckets, sig_size, seed
+        ).collect()
+    }
+    sets_in_order = [[0, 2, 3], [4], [], [0, 2, 4, 6]]
+    dict_size = 7
+    jsigs, jbands = _run_oracle(
+        oracle_bin, sets_in_order, sig_size, dict_size, seed, stages, buckets
+    )
+    for fid, jsig, jband in zip(
+        ["100250001", "100250002", "100250003", "100250004"], jsigs, jbands
+    ):
+        assert result[fid][0] == jsig, fid
+        assert result[fid][1] == jband, fid
+        # cross-check against the numpy reference implementation too
+        assert (
+            reference_band_hash(np.array(jsig, dtype=np.int64), stages, buckets).tolist()
+            == jband
+        ), fid
