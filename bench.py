@@ -85,10 +85,13 @@ def run_pipeline_bench(spark) -> dict:
 def make_spark(cpus: int):
     from lsh_for_source_code_spark.session import get_spark
 
+    # 4 tasks per core: one wave of exactly-#cores partitions has no packing
+    # slack (any skewed partition sets the wall clock); 4 waves let the
+    # scheduler load-balance, and AQE coalesces the genuinely tiny shuffles.
     return get_spark(
         app_name=f"bench-local{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
+        shuffle_partitions=max(4 * cpus, 8),
     )
 
 
@@ -185,24 +188,46 @@ def scaling():
     local[8]) -- the driver-sanctioned sandbox substitution for N vs 4N
     executors. local[32] is also reported; the hardware baseline shows this
     VM's memory bus saturates near 8 cores, so 8->32 is bandwidth-capped
-    for any workload (Spark or raw numpy alike)."""
+    for any workload (Spark or raw numpy alike).
+
+    MEDIAN OF `reps` RUNS per level (NOTES r1 item 1/7: identical runs on
+    this shared host swing up to 2x; single samples are meaningless).
+    Levels interleave (2,8,32,2,8,32,...) so slow host phases hit all
+    levels, not one."""
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    levels = (2, 8, 32)
+    samples: dict[int, list[dict]] = {c: [] for c in levels}
+    for rep in range(reps):
+        for cpus in levels:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = [
+                ln
+                for ln in out.stdout.splitlines()
+                if ln.startswith("PIPELINE_RESULT ")
+            ]
+            if not line:
+                sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+                raise SystemExit(f"child local[{cpus}] produced no result")
+            res = json.loads(line[0].removeprefix("PIPELINE_RESULT "))
+            samples[cpus].append(res)
+            sys.stderr.write(
+                f"[scaling] rep {rep + 1}/{reps} local[{cpus}]: "
+                f"{res['wall_sec']}s {res['files_per_sec']} files/s\n"
+            )
     results = {}
-    for cpus in (2, 8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        line = [
-            ln for ln in out.stdout.splitlines() if ln.startswith("PIPELINE_RESULT ")
-        ]
-        if not line:
-            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-            raise SystemExit(f"child local[{cpus}] produced no result")
-        results[cpus] = json.loads(line[0].removeprefix("PIPELINE_RESULT "))
+    for cpus in levels:
+        runs = sorted(samples[cpus], key=lambda r: r["wall_sec"])
+        med = runs[len(runs) // 2]
+        med = dict(med)
+        med["all_wall_sec"] = [r["wall_sec"] for r in samples[cpus]]
+        results[cpus] = med
 
     hw = _hardware_baseline()
     t2, t8 = results[2]["files_per_sec"], results[8]["files_per_sec"]
@@ -231,14 +256,18 @@ def _write_bench_md(results: dict, eff: float, eff_8_32: float, hw: dict):
         f"deterministic synthetic code_files corpus ({BENCH_FILES} files,",
         f"seed {CORPUS_SEED}) at N and 4N cores.",
         "",
-        "| parallelism | wall (s) | files/sec | verified pairs | clusters |",
-        "|---|---|---|---|---|",
+        "Wall times are the MEDIAN of interleaved repetitions (all samples",
+        "shown) -- identical runs on this shared host swing up to 2x, so",
+        "single samples are meaningless (BENCH_NOTES.md).",
+        "",
+        "| parallelism | median wall (s) | all samples (s) | files/sec | verified pairs | clusters |",
+        "|---|---|---|---|---|---|",
     ]
     for cpus in sorted(results):
         r = results[cpus]
         lines.append(
-            f"| local[{cpus}] | {r['wall_sec']} | {r['files_per_sec']} | "
-            f"{r['verified_pairs']} | {r['n_clusters']} |"
+            f"| local[{cpus}] | {r['wall_sec']} | {r.get('all_wall_sec', [])} | "
+            f"{r['files_per_sec']} | {r['verified_pairs']} | {r['n_clusters']} |"
         )
     lines += [
         "",

