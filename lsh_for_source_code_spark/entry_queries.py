@@ -390,6 +390,33 @@ def q_near_dup_clusters(spark, sf_dir):
     )
 
 
+def q_overlap_dup_pairs(spark, sf_dir):
+    """The reference's ACTUAL pairing rule (SURVEY.md 2.4, reverse-engineered
+    from the committed 70%/50% CSVs): multiset token-overlap
+    sim(A,B) = |A sect B|_multiset / max(|A|,|B|) >= 0.7, run through the
+    full LSH pipeline with the jaccard channel disabled -- so CORRECTNESS
+    exercises the multiset-overlap verifier end-to-end (VERDICT r1 next#3).
+    Subset doc_id % 5 == 0 (same as the flagship)."""
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SUBSET_MOD == 0
+    )
+    cfg = PipelineConfig(
+        num_perm=128,
+        bands=64,
+        rows_per_band=2,
+        jaccard_threshold=2.0,  # disabled: overlap-only, the reference rule
+        overlap_threshold=0.7,
+        max_bucket_pairs=1_000_000,  # exact all-pairs (oracle-matched query)
+    )
+    shingled, signed = _shingled_signed(docs, cfg)
+    bands = band_files(signed, cfg)
+    cands = candidate_pairs(bands, cfg)
+    pairs = verify_pairs(cands, shingled, cfg)
+    return pairs.select(
+        "id_a", "id_b", F.round("overlap", 6).alias("overlap")
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     """Rows-only: signatures are UDF-defined (numpy oracle lives in pytest)."""
     docs = _read(spark, sf_dir, "documents")
@@ -449,42 +476,25 @@ def q_embedding_topk(spark, sf_dir):
 
 
 def q_embedding_ann_lsh(spark, sf_dir):
-    """Rows-only: random-hyperplane LSH bucketing for ANN at scale -- each
-    vector gets a 16-bit sign sketch; neighbor candidates share the sketch
-    block. (Scale path for q_embedding_topk's brute force.)"""
-    from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import LongType
+    """Rows-only: ANN over embeddings via multi-table random-hyperplane LSH
+    + exact cosine re-rank (functions/ann.py; r1 gaps fixed per VERDICT
+    next#6: measurable recall, bucket occupancy cap, multi-table probing).
 
-    rng = np.random.default_rng(7)
-    planes = rng.standard_normal((16, 64))
-
-    @pandas_udf(LongType())
-    def sketch(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy())  # (n, 64)
-        bits = (mat @ planes.T) > 0  # (n, 16)
-        out = np.zeros(len(v), dtype=np.int64)
-        for j in range(16):
-            out |= bits[:, j].astype(np.int64) << j
-        return pd.Series(out)
+    Same 10 query vectors and output schema as the exact q_embedding_topk,
+    so recall@5 is directly measurable (tests/test_entry_oracle.py). The
+    testdata embeddings are UNSTRUCTURED (best neighbors at cos ~0.35, the
+    hardest regime for angular LSH), so the knobs here are b=4 bits x L=8
+    tables -- expected per-neighbor recall 1-(1-p^4)^8 ~ 0.66 at cos 0.33,
+    scanning ~L/2^b = 50% of the corpus. On clustered production data
+    (dups at cos >= 0.9) the same operator runs b=12-16 at a tiny scan
+    fraction -- see test_ann_planted_high_similarity_regime."""
+    from lsh_for_source_code_spark.functions.ann import ann_topk
 
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    sk = emb.withColumn("sketch", sketch("v")).select("vec_id", "sketch")
-    a, b = sk.alias("a"), sk.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.sketch") == F.col("b.sketch"),
-                F.col("a.vec_id") < F.col("b.vec_id"),
-            ],
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("a.sketch").alias("sketch"),
-        )
+    return ann_topk(
+        emb, F.col("vec_id") < 10, dim=64, k=5, bits=4, tables=8
     )
 
 
@@ -509,6 +519,7 @@ QUERIES = {
     "kgram_profile": q_kgram_profile,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
+    "overlap_dup_pairs": q_overlap_dup_pairs,
     "minhash_signatures": q_minhash_signatures,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "band_skew_report": q_band_skew_report,
@@ -698,6 +709,28 @@ ORACLE = {
         JOIN sizes sa ON ia = sa.doc_id
         JOIN sizes sb ON ib = sb.doc_id
         WHERE i::DOUBLE / (sa.n + sb.n - i) >= {FLAGSHIP_THETA}
+    """,
+    "overlap_dup_pairs": f"""
+        WITH toks AS (
+          SELECT doc_id, tok, count(*) AS freq FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}')) AS tok
+            FROM documents WHERE doc_id % {SUBSET_MOD} = 0
+          ) GROUP BY doc_id, tok
+        ), sizes AS (
+          SELECT doc_id, sum(freq) AS n FROM toks GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib,
+                 sum(least(a.freq, b.freq)) AS i
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT ia AS id_a, ib AS id_b,
+               round(i::DOUBLE / greatest(sa.n, sb.n), 6) AS overlap
+        FROM inter
+        JOIN sizes sa ON ia = sa.doc_id
+        JOIN sizes sb ON ib = sb.doc_id
+        WHERE i::DOUBLE / greatest(sa.n, sb.n) >= 0.7
     """,
     "near_dup_clusters": f"""
         WITH RECURSIVE toks AS (

@@ -119,13 +119,9 @@ class _RollingHasher:
         return (k1 << np.int64(31)) | k2
 
 
-def _lcs_len(ca: np.ndarray, cb: np.ndarray) -> int:
-    """Binary search on the LCS length; each probe intersects the two
-    windows' double-hash key sets. O(n log n) with numpy probes."""
-    if len(ca) == 0 or len(cb) == 0:
-        return 0
-    ha, hb = _RollingHasher(ca), _RollingHasher(cb)
-    lo, hi = 0, min(len(ca), len(cb))  # invariant: LCS >= lo, <= hi
+def _lcs_len_from(ha: "_RollingHasher", hb: "_RollingHasher", lo: int, hi: int) -> int:
+    """Binary search on the LCS length starting from a known lower bound;
+    each probe intersects the two windows' double-hash key sets."""
     while lo < hi:
         mid = (lo + hi + 1) // 2
         if len(np.intersect1d(ha.window_keys(mid), hb.window_keys(mid))) > 0:
@@ -135,26 +131,60 @@ def _lcs_len(ca: np.ndarray, cb: np.ndarray) -> int:
     return lo
 
 
-@pandas_udf(DoubleType())
-def lcs_containment_udf(content_a: pd.Series, content_b: pd.Series) -> pd.Series:
+def _lcs_len(ca: np.ndarray, cb: np.ndarray) -> int:
+    """Binary search on the LCS length. O(n log n) with numpy probes."""
+    if len(ca) == 0 or len(cb) == 0:
+        return 0
+    return _lcs_len_from(_RollingHasher(ca), _RollingHasher(cb), 0, min(len(ca), len(cb)))
+
+
+def make_lcs_containment_udf(min_containment: float | None = None):
     """Longest-common-substring containment: lcs_len / min(len_a, len_b).
 
     Suffix-structure channel for containment dups (north_star; no reference
     counterpart -- the overlap>=theta rule punishes size mismatch,
     SURVEY.md 2.4). Binary search on the LCS length with vectorized double
     rolling hashes (see _RollingHasher); runs only on the small pair set
-    that survives candidate generation but fails the jaccard bar."""
-    out = np.zeros(len(content_a), dtype=np.float64)
-    for i, (a, b) in enumerate(zip(content_a, content_b)):
-        if not a or not b:
-            continue
-        ca = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
-        cb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
-        m = min(len(ca), len(cb))
-        if m == 0:
-            continue
-        out[i] = _lcs_len(ca, cb) / m
-    return pd.Series(out)
+    that survives candidate generation but fails the jaccard bar.
+
+    `min_containment` (the caller's filter threshold) enables a gate probe:
+    one window-hash intersection at L0 = ceil(min_containment * min_len)
+    decides pass/fail first, and the exact binary search runs only for
+    passing pairs (the rare ones). Failing pairs return 0.0 -- callers
+    filter on >= min_containment, so the contract is unchanged for them.
+    With min_containment=None the exact value is always computed (r1
+    behaviour; the DP-oracle tests use this)."""
+
+    @pandas_udf(DoubleType())
+    def lcs_containment(content_a: pd.Series, content_b: pd.Series) -> pd.Series:
+        out = np.zeros(len(content_a), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(content_a, content_b)):
+            if not a or not b:
+                continue
+            ca = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+            cb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+            m = min(len(ca), len(cb))
+            if m == 0:
+                continue
+            lo = 0
+            if min_containment is not None:
+                L0 = min(m, max(1, int(np.ceil(min_containment * m))))
+                ha, hb = _RollingHasher(ca), _RollingHasher(cb)
+                if not np.intersect1d(
+                    ha.window_keys(L0), hb.window_keys(L0)
+                ).size:
+                    continue  # containment < min_containment: gate probe
+                lo = L0
+                out[i] = _lcs_len_from(ha, hb, lo, m) / m
+            else:
+                out[i] = _lcs_len(ca, cb) / m
+        return pd.Series(out)
+
+    return lcs_containment
+
+
+#: exact variant (backwards-compatible name used by tests)
+lcs_containment_udf = make_lcs_containment_udf(None)
 
 
 def join_pair_features(
@@ -260,16 +290,19 @@ def verify_pairs(
 
 def add_lcs_containment(
     pairs: DataFrame, files: DataFrame, id_col: str = "file_id",
-    content_col: str = "content",
+    content_col: str = "content", min_containment: float | None = None,
 ) -> DataFrame:
     """Containment channel: join content back (only for the surviving pairs
-    -- a tiny fraction of the corpus) and score LCS containment."""
+    -- a tiny fraction of the corpus) and score LCS containment. Pass the
+    downstream filter threshold as `min_containment` to enable the cheap
+    gate probe (see make_lcs_containment_udf)."""
+    udf = make_lcs_containment_udf(min_containment)
     c = files.select(F.col(id_col).alias("fid"), F.col(content_col).alias("c"))
     a = c.select(F.col("fid").alias("id_a"), F.col("c").alias("content_a"))
     b = c.select(F.col("fid").alias("id_b"), F.col("c").alias("content_b"))
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("lcs_containment", lcs_containment_udf("content_a", "content_b"))
+        .withColumn("lcs_containment", udf("content_a", "content_b"))
         .drop("content_a", "content_b")
     )

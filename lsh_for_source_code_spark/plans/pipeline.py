@@ -185,9 +185,9 @@ def run_pipeline(
         )
         if cfg.overlap_threshold is not None:
             loose = loose.filter(F.col("overlap") < cfg.overlap_threshold)
-        contain = add_lcs_containment(loose, ids).filter(
-            F.col("lcs_containment") >= cfg.containment_threshold
-        )
+        contain = add_lcs_containment(
+            loose, ids, min_containment=cfg.containment_threshold
+        ).filter(F.col("lcs_containment") >= cfg.containment_threshold)
         verified = verified.unionByName(
             contain.select("id_a", "id_b", "jaccard", "overlap", "n_shared_bands"),
             allowMissingColumns=True,

@@ -75,6 +75,169 @@ def incremental_update(
     }
 
 
+def streaming_event_rollup(
+    spark,
+    input_path: str,
+    checkpoint: str,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+):
+    """Watermarked tumbling-window aggregation over an event stream
+    (SURVEY.md 2.5 streaming category: windowed aggs + late-data handling).
+
+    readStream(events) -> withWatermark(ts) -> window(ts) x event_type ->
+    count/avg -> append sink. Append mode emits a window only once the
+    watermark passes its end, and rows later than the watermark are dropped
+    -- the exactly-once rollup shape for the events table at 100 TB (state
+    store holds only open windows; watermark bounds state size).
+
+    Returns the DataStreamWriter (caller picks trigger/path); tests drive it
+    with trigger(availableNow=True) across two batches to observe both
+    window finalization and late-row dropping.
+    """
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(input_path)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .option("path", checkpoint + "_out")
+        .trigger(availableNow=True)
+    )
+
+
+def streaming_sessionize(
+    spark,
+    input_path: str,
+    checkpoint: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+):
+    """Custom stateful streaming operator (SURVEY.md 2.5 streaming category):
+    per-user sessionization with applyInPandasWithState.
+
+    State per user_id: (session_start, last_ts, n_events, sum_value). A new
+    event more than `gap_minutes` after the last one closes the session and
+    emits it; event-time timeout (watermark + gap) closes idle sessions.
+    This is the applyInPandasWithState shape for any custom per-key state
+    machine (the engine's stand-in for operators Spark lacks natively).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", IntegerType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ms", LongType()),
+            StructField("last_ms", LongType()),
+            StructField("n", IntegerType()),
+            StructField("sv", DoubleType()),
+        ]
+    )
+    gap_ms = gap_minutes * 60_000
+
+    def sessionize(key, pdfs, state: GroupState):
+        (user_id,) = key
+        sessions = []
+        if state.hasTimedOut:
+            start_ms, last_ms, n, sv = state.get
+            sessions.append((user_id, start_ms, last_ms, n, sv))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values("ts")
+            ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+            vals = rows["value"].to_numpy()
+            if state.exists:
+                start_ms, last_ms, n, sv = state.get
+            else:
+                start_ms, last_ms, n, sv = int(ts_ms[0]), int(ts_ms[0]) - 1, 0, 0.0
+            for t, v in zip(ts_ms, vals):
+                t = int(t)
+                if n > 0 and t - last_ms > gap_ms:
+                    sessions.append((user_id, start_ms, last_ms, n, sv))
+                    start_ms, n, sv = t, 0, 0.0
+                if n == 0:
+                    start_ms = t
+                last_ms, n, sv = t, n + 1, sv + float(v)
+            state.update((start_ms, last_ms, n, sv))
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+        if not sessions:
+            yield pd.DataFrame(
+                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"]
+            )
+        else:
+            df = pd.DataFrame(
+                sessions,
+                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+            )
+            df["session_start"] = pd.to_datetime(df["session_start"], unit="ms")
+            df["session_end"] = pd.to_datetime(df["session_end"], unit="ms")
+            yield df
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(input_path)
+    )
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .option("path", checkpoint + "_out")
+        .trigger(availableNow=True)
+    )
+
+
 def streaming_ingest(spark, input_path: str, checkpoint: str, cfg: PipelineConfig):
     """Structured Streaming ingest of code_files batches (API-surface demo:
     file source -> shingle+sign (the same vectorized UDFs work on streaming

@@ -89,3 +89,60 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_embedding_ann_recall_vs_exact(spark):
+    """ANN (multi-table hyperplane LSH + exact re-rank) vs the exact
+    brute-force top-5 (VERDICT r1 next#6: measure ANN recall). The testdata
+    embeddings are unstructured -- best neighbors sit at cos ~0.33-0.39,
+    the hardest regime for angular LSH. Expected per-neighbor recall at
+    b=4, L=8 is 1-(1-p^4)^8 ~ 0.62-0.72 for p = 1 - arccos(cos)/pi in
+    [0.60, 0.63]; assert a floor under that band. The high-similarity
+    production regime is covered by
+    test_ann_planted_high_similarity_regime."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["embedding_topk"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["embedding_ann_lsh"](spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall@5 = {recall:.3f} ({len(exact)} exact pairs)"
+
+
+def test_ann_planted_high_similarity_regime(spark):
+    """The 100 TB dedup regime: planted near-dup neighbors at cos >= 0.9.
+    b=12-bit sketches x L=8 tables must find them with recall >= 0.9 while
+    scanning a small corpus fraction (expected per-neighbor candidate
+    recall 1-(1-p^12)^8 >= 0.97 at cos 0.92)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lsh_for_source_code_spark.functions.ann import ann_topk
+
+    rng = np.random.default_rng(11)
+    n_base, dim = 400, 64
+    base = rng.standard_normal((n_base, dim))
+    # 10 queries: each gets a planted near-dup (small perturbation)
+    queries = base[:10]
+    noise = rng.standard_normal((10, dim)) * 0.12
+    planted = queries + noise  # cos ~ 0.95
+    vecs = np.vstack([base, planted])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs)), "v": [v.tolist() for v in vecs]}
+    )
+    emb = spark.createDataFrame(pdf).select(
+        "vec_id", F.transform("v", lambda x: x.cast("double")).alias("v")
+    )
+    out = ann_topk(
+        emb, F.col("vec_id") < 10, dim=dim, k=1, bits=12, tables=8
+    ).collect()
+    top1 = {r.query_id: r.neighbor_id for r in out}
+    hits = sum(1 for q in range(10) if top1.get(q) == n_base + q)
+    assert hits >= 9, f"planted-neighbor recall@1 = {hits}/10"

@@ -257,3 +257,43 @@ def test_lcs_containment_channel(spark):
     ).collect()
     assert rows[0].c > 0.95  # inner is contained verbatim
     assert rows[1].c < 0.5
+
+
+def test_lcs_gate_probe_matches_exact_above_threshold():
+    """The min_containment gate probe (VERDICT r1 next#8) must return the
+    EXACT value for every pair at/above the threshold and 0.0 below it --
+    checked against the ungated UDF's values on random strings with planted
+    shared substrings."""
+    import random
+
+    from lsh_for_source_code_spark.operators.verify import (
+        _RollingHasher,
+        _lcs_len,
+    )
+    import numpy as np
+
+    rng = random.Random(17)
+    theta = 0.8
+    for trial in range(40):
+        n = rng.randint(5, 120)
+        a = "".join(rng.choice("abcdef") for _ in range(n))
+        b = "".join(rng.choice("abcdef") for _ in range(rng.randint(5, 120)))
+        if trial % 2:
+            # plant a shared run to hit the >= theta branch often
+            L = rng.randint(1, min(len(a), len(b)))
+            b = b[: len(b) - L] + a[:L]
+        ca = np.frombuffer(a.encode(), dtype=np.uint8)
+        cb = np.frombuffer(b.encode(), dtype=np.uint8)
+        m = min(len(ca), len(cb))
+        exact = _lcs_len(ca, cb) / m
+        # reimplement the gate inline (the UDF body's branch)
+        L0 = min(m, max(1, int(np.ceil(theta * m))))
+        ha, hb = _RollingHasher(ca), _RollingHasher(cb)
+        if not np.intersect1d(ha.window_keys(L0), hb.window_keys(L0)).size:
+            gated = 0.0
+            assert exact < theta, (a, b, exact)
+        else:
+            from lsh_for_source_code_spark.operators.verify import _lcs_len_from
+
+            gated = _lcs_len_from(ha, hb, L0, m) / m
+            assert gated == exact, (a, b, gated, exact)

@@ -148,3 +148,117 @@ def test_tokenfile_roundtrip(spark, tmp_path):
     # round-trip back to text
     back = corpus_to_tokenfile_lines(tf).collect()
     assert sorted(r.value for r in back) == sorted(lines)
+
+
+def _all_corpus_files():
+    """(dir/file) keys for every committed corpus file (4,632)."""
+    out = []
+    for d in sorted(os.listdir(BCB)):
+        dp = Path(BCB) / d
+        if dp.is_dir():
+            for fn in sorted(os.listdir(dp)):
+                out.append((d, fn))
+    return out
+
+
+class _UF:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        r = x
+        while self.p.get(r, r) != r:
+            r = self.p[r]
+        while self.p.get(x, x) != r:
+            self.p[x], x = r, self.p[x]
+        return r
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+@pytest.fixture(scope="module")
+def full_corpus_scored(spark):
+    """Run the whole LSH pipeline ONCE over all 4,632 committed files and
+    return (overlap-scored candidate pairs, sha-equal edge list), keyed by
+    'dir/file'. Thresholds are applied per-test (the expensive stages are
+    theta-independent)."""
+    from lsh_for_source_code_spark.operators.banding import band_files
+    from lsh_for_source_code_spark.operators.candidates import candidate_pairs
+    from lsh_for_source_code_spark.functions.minhash import sign_files
+
+    names = _all_corpus_files()
+    assert len(names) == 4632
+    df = _load_files(spark, names)
+    # exact all-pairs inside buckets: at 4,632 files the star-cap would only
+    # complicate recall accounting (production cap is covered elsewhere)
+    cfg = PipelineConfig(
+        jaccard_threshold=2.0,  # disabled: the reference rule is overlap-only
+        overlap_threshold=0.5,
+        max_bucket_pairs=1_000_000,
+    )
+    shingled = (
+        shingle_files(df)
+        .withColumn("file_id", F.xxhash64("path"))
+        .select("file_id", "path", "content_sha", "n_tokens", "shingles", "counts")
+        .persist()
+    )
+    id_to_key = {r.file_id: r.path for r in shingled.select("file_id", "path").collect()}
+    sha_groups = {}
+    for r in shingled.select("file_id", "content_sha").collect():
+        sha_groups.setdefault(r.content_sha, []).append(r.file_id)
+    sha_edges = [
+        (g[0], other) for g in sha_groups.values() for other in g[1:]
+    ]
+    signed = sign_files(shingled, cfg)
+    bands = band_files(signed, cfg)
+    cands = candidate_pairs(bands, cfg)
+    scored = verify_pairs(
+        cands, shingled.drop("path", "content_sha"), cfg, keep_all=True
+    ).select("id_a", "id_b", "overlap").collect()
+    shingled.unpersist()
+    return {
+        "id_to_key": id_to_key,
+        "sha_edges": sha_edges,
+        "scored": [(r.id_a, r.id_b, r.overlap) for r in scored],
+    }
+
+
+@pytest.mark.parametrize(
+    "csv_name,theta,min_recall",
+    [
+        # measured (deterministic: fixed seeds + tokenizer): 75/75 = 1.000,
+        # 3160/3168 = 0.9975, 8999/9011 = 0.9987 -- all above the
+        # north_rule 0.99 despite the tokenizer approximation (SURVEY 2.4:
+        # 98.6% per-pair ceiling) because cluster transitivity recovers
+        # most tokenizer-divergent pairs.
+        ("Code_Clone_file_with_100%_similarity.csv", 1.0, 0.99),
+        ("Code_Clone_file_with_70%_similarity.csv", 0.7, 0.99),
+        ("Code_Clone_file_with_50%_similarity.csv", 0.5, 0.99),
+    ],
+)
+def test_full_corpus_pair_recall_vs_committed_csvs(
+    full_corpus_scored, csv_name, theta, min_recall
+):
+    """north_rule criterion measured on the reference's own data: run the
+    pipeline over all 4,632 committed files and check that every committed
+    CSV pair (75 / 3,168 / 9,011 at 100/70/50%) lands in the same cluster
+    at the matching overlap threshold."""
+    data = full_corpus_scored
+    key_to_id = {v: k for k, v in data["id_to_key"].items()}
+    uf = _UF()
+    for a, b in data["sha_edges"]:
+        uf.union(a, b)
+    for a, b, ov in data["scored"]:
+        if ov is not None and ov >= theta - 1e-12:
+            uf.union(a, b)
+    csv_pairs = _read_pairs(f"{REF}/Result_of_bigcloneEval/{csv_name}")
+    found = 0
+    for (d1, f1), (d2, f2) in csv_pairs:
+        ia, ib = key_to_id[f"{d1}/{f1}"], key_to_id[f"{d2}/{f2}"]
+        if uf.find(ia) == uf.find(ib):
+            found += 1
+    recall = found / len(csv_pairs)
+    assert recall >= min_recall, f"{csv_name}: {found}/{len(csv_pairs)} = {recall:.4f}"
