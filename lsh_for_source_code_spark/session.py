@@ -74,9 +74,18 @@ def get_spark(
         # no driver-side broadcast construction
         builder = builder.config("spark.sql.join.preferSortMergeJoin", "false")
     if os.environ.get("SPARK_GRAFT_GC", "parallel") == "parallel":
-        builder = builder.config(
-            "spark.driver.extraJavaOptions", "-XX:+UseParallelGC"
+        # Cap GC threads at the task parallelism: local[N] on a 32-core host
+        # otherwise gets 32 GC threads regardless of N, so GC wall-time is
+        # constant across parallelism levels and reads as a serial floor in
+        # the N->4N scaling measurement. A real N-core executor has ~N GC
+        # threads; emulate that faithfully.
+        n_gc = None
+        if master.startswith("local[") and master[6:-1].isdigit():
+            n_gc = max(2, int(master[6:-1]))
+        gc_opts = "-XX:+UseParallelGC" + (
+            f" -XX:ParallelGCThreads={n_gc}" if n_gc else ""
         )
+        builder = builder.config("spark.driver.extraJavaOptions", gc_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
