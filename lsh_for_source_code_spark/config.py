@@ -87,6 +87,16 @@ class PipelineConfig:
     max_bucket_pairs: int = 64    # buckets with <= this many members emit all pairs;
                                   # larger buckets fall back to star topology
     salt_partitions: int = 16     # salting factor for mega-bucket repartition
+    min_band_agreement: int = 1
+    # OPTIONAL precision/cost knob: candidate pairs must share >= this many
+    # SMALL-bucket LSH bands to reach exact verification (star anchor pairs
+    # exempt). The textbook >=2-band rule is NOT recall-safe under the
+    # mega-bucket star cap: bands matching inside capped buckets don't
+    # count, so true pairs whose shared bands are mostly mega (boilerplate-
+    # heavy corpora) can carry agreement 1. MEASURED on the 20k synthetic
+    # corpus: agreement=2 cut verify input hard but cost 55% of true pairs
+    # / 29% of cluster-level recall -- hence default 1 (loss-free). Raise
+    # only when banding is uncapped or precision matters more than recall.
 
     # --- execution ---
     shuffle_partitions: int = 32

@@ -44,6 +44,7 @@ FLAGSHIP_CFG = PipelineConfig(
     jaccard_threshold=FLAGSHIP_THETA,
     overlap_threshold=None,  # jaccard-only query: verification is pure JVM
     max_bucket_pairs=1_000_000,  # exact all-pairs (oracle-matched query)
+    min_band_agreement=1,        # oracle query: candidate gen is loss-free
 )
 SUBSET_MOD = 5  # flagship runs on doc_id % 5 == 0 (bounds the dense corpus)
 
@@ -407,6 +408,7 @@ def q_overlap_dup_pairs(spark, sf_dir):
         jaccard_threshold=2.0,  # disabled: overlap-only, the reference rule
         overlap_threshold=0.7,
         max_bucket_pairs=1_000_000,  # exact all-pairs (oracle-matched query)
+        min_band_agreement=1,        # oracle query: candidate gen is loss-free
     )
     shingled, signed = _shingled_signed(docs, cfg)
     bands = band_files(signed, cfg)

@@ -102,11 +102,23 @@ def candidate_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
         (F.col("sz") > cfg.max_bucket_pairs) & (F.col("file_id") != F.col("anchor"))
     ).select(F.col("anchor").alias("id_a"), F.col("file_id").alias("id_b"))
 
-    return (
-        pairs_small.unionByName(pairs_mega)
+    merged = (
+        pairs_small.withColumn("_star", F.lit(False))
+        .unionByName(pairs_mega.withColumn("_star", F.lit(True)))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared_bands"))
+        .agg(
+            F.count("*").alias("n_shared_bands"),
+            F.max("_star").alias("_star"),
+        )
     )
+    # band-agreement prefilter: single-band candidates are overwhelmingly
+    # false at r>=2 (see config.min_band_agreement); star anchor pairs are
+    # exempt because they are the mega-bucket's only connectivity edges.
+    if cfg.min_band_agreement > 1:
+        merged = merged.filter(
+            (F.col("n_shared_bands") >= cfg.min_band_agreement) | F.col("_star")
+        )
+    return merged.drop("_star")
 
 
 def simhash_candidate_pairs(

@@ -44,10 +44,12 @@ def get_spark(
         # Arrow everywhere: every Python boundary is a vectorized pandas UDF.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # local mode: driver == the one executor; size the heap for
-        # n_threads concurrent tasks (shingle arrays are heap-resident
-        # during shuffles). Overridable for real cluster deployments.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # local mode: driver == the one executor. Heap sized to the WORKING
+        # SET, not the box: r2 A/B at identical parallelism measured 8g
+        # beating 32g by 1.4x wall at local[8] AND local[32] (smaller young
+        # gen keeps the GC-touched heap cache-resident; 32g young-gen
+        # sweeps stream DRAM). Overridable for real cluster deployments.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # Round-2 lesson (BENCH.md r1 -> r2): a 256 MB global broadcast
         # threshold made Catalyst broadcast multi-million-row INTERMEDIATES
         # (the whole bands table in candidate_pairs' stats join and the

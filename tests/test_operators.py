@@ -29,7 +29,10 @@ from lsh_for_source_code_spark.operators.components import (
 from lsh_for_source_code_spark.operators.verify import verify_pairs
 
 
-CFG = PipelineConfig(num_perm=16, bands=8, rows_per_band=2, max_bucket_pairs=4)
+CFG = PipelineConfig(
+    num_perm=16, bands=8, rows_per_band=2, max_bucket_pairs=4,
+    min_band_agreement=1,  # fixtures build single-band tables
+)
 
 
 def _signed(spark, contents):
@@ -262,3 +265,33 @@ def test_simhash_small_blocks_unchanged_by_cap(spark):
              for r in simhash_candidate_pairs(signed, capped).collect()}
     assert got_u == got_c  # blocks here have <= 2 members
     assert {p[:2] for p in got_u} == {(0, 1)}
+
+
+def test_candidates_band_agreement_prefilter(spark):
+    """min_band_agreement=2 drops single-band candidates but keeps
+    multi-band pairs and star-topology anchor edges."""
+    cfg1 = PipelineConfig(
+        num_perm=16, bands=8, rows_per_band=2, max_bucket_pairs=4,
+        min_band_agreement=1,
+    )
+    cfg2 = PipelineConfig(
+        num_perm=16, bands=8, rows_per_band=2, max_bucket_pairs=4,
+        min_band_agreement=2,
+    )
+    bands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # pair (1,2): shares bands 0 and 1 -> survives
+                # pair (1,3): shares band 0 only -> dropped at agreement>=2
+                # ids 10..19 in one band-0 mega bucket (> cap) -> star edges kept
+                "file_id": [1, 2, 3, 1, 2] + list(range(10, 20)),
+                "band_id": [0, 0, 0, 1, 1] + [0] * 10,
+                "band_hash": [7, 7, 7, 9, 9] + [55] * 10,
+            }
+        )
+    )
+    got1 = {(r.id_a, r.id_b) for r in candidate_pairs(bands, cfg1).collect()}
+    got2 = {(r.id_a, r.id_b) for r in candidate_pairs(bands, cfg2).collect()}
+    star = {(10, j) for j in range(11, 20)}
+    assert got1 == {(1, 2), (1, 3), (2, 3)} | star
+    assert got2 == {(1, 2)} | star
