@@ -71,13 +71,22 @@ def connected_components(
     # answers "does the edge set fit on the driver" AND delivers the edges --
     # r1 ran a limit().count() probe followed by a sequential toLocalIterator
     # drain (one job per partition, a pure serial floor; VERDICT r1 next#1).
-    head = e.limit(driver_max_edges + 1).collect()
+    # Arrow on both driver hops: toPandas instead of Row-object collect, and
+    # a pandas frame instead of a pickled tuple list for the labels table --
+    # each saves seconds of single-threaded (de)serialization at ~10^5 rows.
+    head = e.limit(driver_max_edges + 1).toPandas()
     if len(head) <= driver_max_edges:
+        import pandas as pd
+
         spark = edges.sparkSession
-        mapping = _driver_union_find((r.src, r.dst) for r in head)
+        mapping = _driver_union_find(
+            zip(head["src"].to_numpy(), head["dst"].to_numpy())
+        )
         if mapping:
             labels = spark.createDataFrame(
-                list(mapping.items()), schema="node long, label long"
+                pd.DataFrame(
+                    {"node": list(mapping.keys()), "label": list(mapping.values())}
+                ).astype("int64")
             )
         else:
             labels = spark.createDataFrame([], schema="node long, label long")
