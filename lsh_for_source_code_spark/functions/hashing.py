@@ -152,15 +152,16 @@ def minhash_concat(
             hv += b[:, None]
             hv = (hv & P) + (hv >> U64(61))
             np.subtract(hv, P, out=hv, where=hv >= P)
-            # reduceat rejects start == segment length (a trailing empty doc
-            # in the chunk); clamp those starts -- their segments are empty
-            # and masked out below via `nonempty`.
-            starts = np.minimum((offsets[d:e] - lo).astype(np.int64), hi - lo - 1)
-            mins = np.minimum.reduceat(hv, starts, axis=1)  # (perm, e-d)
-            # reduceat yields arr[start] for empty segments; mask those out.
+            # reduceat over NON-EMPTY starts only: empty docs have zero width,
+            # so dropping their starts keeps every real segment boundary exact
+            # (the last non-empty segment extends to the chunk end). Clamping a
+            # trailing empty doc's start instead would steal the preceding
+            # doc's last shingle from its min (r2 ADVICE, reproduced).
             nonempty = offsets[d + 1 : e + 1] > offsets[d:e]
             cols = np.where(nonempty)[0]
-            out[d + cols, :] = mins[:, cols].T
+            starts = (offsets[d:e] - lo).astype(np.int64)[cols]
+            mins = np.minimum.reduceat(hv, starts, axis=1)  # (perm, len(cols))
+            out[d + cols, :] = mins.T
         d = e
     return out
 
@@ -183,22 +184,24 @@ def simhash_concat(
         return out
     sh = concat.astype(U64, copy=False)
     w = counts.astype(np.int64, copy=False)
-    # clamp trailing-empty-doc starts (== len(concat)); reduceat rejects
-    # indices equal to the array length, and empty segments are masked out
-    # via `nonempty` anyway
-    starts = np.minimum(offsets[:-1].astype(np.int64), len(concat) - 1)
+    # reduceat over NON-EMPTY starts only (same fix as minhash_concat): a
+    # clamped trailing-empty-doc start would steal the last element from the
+    # preceding doc's weighted totals and flip fingerprint bits (r2 ADVICE).
     nonempty = offsets[1:] > offsets[:-1]
-    totals = np.add.reduceat(w, starts)
-    totals = np.where(nonempty, totals, 0)
-    fp = np.zeros(n_docs, dtype=U64)
+    cols = np.where(nonempty)[0]
+    if len(cols) == 0:
+        return out
+    starts = offsets[:-1].astype(np.int64)[cols]
+    totals = np.add.reduceat(w, starts)  # (len(cols),)
+    fp = np.zeros(len(cols), dtype=U64)
     # one 1-D pass per bit: (total,) temporaries stay cache-resident instead
     # of a (total, 64) int64 matrix (memory-bandwidth killer at 32 threads)
     for j in range(bits):
         bit_w = ((sh >> np.uint64(j)) & U64(1)).view(np.int64) * w
         sums = np.add.reduceat(bit_w, starts)
-        votes = (2 * sums > totals) & nonempty
-        fp |= votes.astype(U64) << np.uint64(j)
-    return fp.view(np.int64)
+        fp |= (2 * sums > totals).astype(U64) << np.uint64(j)
+    out[cols] = fp.view(np.int64)
+    return out
 
 
 class JavaRandom:

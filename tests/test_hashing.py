@@ -165,6 +165,42 @@ def test_trailing_empty_doc_minhash_and_simhash():
     assert fp[1] != 0 and fp[3] != 0
 
 
+def test_trailing_empty_doc_is_adversarial_not_lucky():
+    """ADVICE r2 (high): a trailing empty doc must not steal the preceding
+    doc's LAST shingle from its segment. Construct the worst case explicitly:
+    order the last non-empty doc so the shingle minimizing EVERY permutation's
+    hash sits in the final position, then assert (a) signatures match the
+    naive oracle and (b) output is identical with and without the trailing
+    empty doc. The old clamp fix fails both assertions here."""
+    a, b = minhash_coefficients(8, seed=11)
+    rng = np.random.default_rng(7)
+    doc = rng.integers(1, 1 << 62, size=9, dtype=np.uint64)
+    P = int(MERSENNE_61)
+
+    def hash_perm(i, xs):
+        return (int(a[i]) * (xs.astype(object) % P) + int(b[i])) % P
+
+    # Reorder so that, for permutation 0, the minimizing element is last (the
+    # element the clamp would drop). Then verify the oracle for ALL perms.
+    order = np.argsort(hash_perm(0, doc))[::-1]
+    doc = doc[order]
+    offsets_with = np.array([0, len(doc), len(doc)], dtype=np.int64)
+    offsets_without = np.array([0, len(doc)], dtype=np.int64)
+    sig_with = minhash_concat(doc, offsets_with, a, b)
+    sig_without = minhash_concat(doc, offsets_without, a, b)
+    assert np.array_equal(sig_with[0], sig_without[0])
+    assert np.array_equal(sig_with[0], naive_minhash(doc, a, b))
+    assert np.all(sig_with[1] == EMPTY_SIG)
+
+    # SimHash: fingerprint must be invariant to a trailing empty doc too
+    # (the clamp stole the last element from the weighted bit totals).
+    counts = np.ones(len(doc), dtype=np.int64)
+    fp_with = simhash_concat(doc, counts, offsets_with)
+    fp_without = simhash_concat(doc, counts, offsets_without)
+    assert fp_with[0] == fp_without[0]
+    assert fp_with[1] == 0
+
+
 def test_minhash_full_64bit_input_distinguishes_high_bits():
     """Shingles differing only above bit 32 must hash differently (the old
     low-32-bit truncation made them MinHash-identical; VERDICT r1 wrong#3)."""
