@@ -45,15 +45,23 @@ HEADLINE = [
 
 
 def _corpus_parquet(spark) -> str:
-    """Deterministic synthetic code_files corpus, generated once, cached."""
+    """Deterministic synthetic code_files corpus, generated once, cached.
+    The ground-truth family sidecar is cached alongside (<path>.truth)."""
     path = f"/tmp/spark_graft_bench_corpus_n{BENCH_FILES}_s{CORPUS_SEED}.parquet"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    truth = path + ".truth"
+    if not (
+        os.path.exists(os.path.join(path, "_SUCCESS"))
+        and os.path.exists(os.path.join(truth, "_SUCCESS"))
+    ):
         from lsh_for_source_code_spark.corpus import generate_corpus
 
         c = generate_corpus(BENCH_FILES, CORPUS_SEED)
         spark.createDataFrame(c.files).repartition(32).write.mode(
             "overwrite"
         ).parquet(path)
+        spark.createDataFrame(c.truth).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(truth)
     return path
 
 
@@ -93,8 +101,30 @@ def run_pipeline_bench(spark) -> dict:
     t0 = time.monotonic()
     out = run_pipeline(spark, df, cfg)
     n_pairs = out["verified_pairs"].count()
-    n_clusters = out["clusters"].select("cluster_id").distinct().count()
+    clusters = out["clusters"].localCheckpoint(eager=True)
+    n_clusters = clusters.select("cluster_id").distinct().count()
     wall = time.monotonic() - t0
+
+    # Ground-truth cluster recall at FULL bench scale (VERDICT r2 wrong#1):
+    # exact within-family >=theta pairs vs same-cluster membership, under the
+    # PRODUCTION config (star cap + band agreement active). Evaluation only
+    # -- runs outside the timed window.
+    from lsh_for_source_code_spark.plans.truth_eval import (
+        cluster_recall,
+        family_truth_pairs,
+    )
+
+    tp = family_truth_pairs(
+        spark,
+        df,
+        spark.read.parquet(path + ".truth"),
+        cfg.jaccard_threshold,
+        cfg.shingle_k,
+        # cross-boilerplate stratum sampled to ~2.5k files (all-pairs there
+        # is quadratic); 'family' stratum is always exhaustive
+        boilerplate_sample_mod=max(1, BENCH_FILES // 20_000),
+    )
+    rec = cluster_recall(tp, clusters)
     release_all()
     return {
         "n_files": BENCH_FILES,
@@ -102,6 +132,7 @@ def run_pipeline_bench(spark) -> dict:
         "files_per_sec": round(BENCH_FILES / wall, 1),
         "verified_pairs": n_pairs,
         "n_clusters": n_clusters,
+        **rec,
     }
 
 

@@ -391,6 +391,41 @@ def q_near_dup_clusters(spark, sf_dir):
     )
 
 
+#: PRODUCTION skew-path config (VERDICT r2 wrong#2): the flagship oracle
+#: queries pin max_bucket_pairs high so candidate generation is exact; this
+#: config forces the mega-bucket chunked-star path to actually RUN inside an
+#: oracle-checked query. max_bucket_pairs=4 makes any >=5-member bucket mega
+#: even at sf0.001. The oracle is cluster-level brute force: capped emission
+#: only ever REMOVES pair edges (chunk + anchor edges are a subset of bucket
+#: all-pairs), so equality with the uncapped brute-force clusters witnesses
+#: zero recall loss through the production path at these SFs.
+CAPPED_CFG = PipelineConfig(
+    num_perm=128,
+    bands=64,
+    rows_per_band=2,
+    jaccard_threshold=FLAGSHIP_THETA,
+    overlap_threshold=None,
+    max_bucket_pairs=4,      # force the mega path at tiny SF
+    mega_chunk_target=4,     # chunked topology exercised, C=4
+    min_band_agreement=1,
+)
+
+
+def q_near_dup_clusters_capped(spark, sf_dir):
+    """Connected components over verified pairs with the SKEW CAP ACTIVE
+    (mega-bucket chunked topology + anchor edges + salted stats). Same
+    brute-force recursive-CTE oracle as near_dup_clusters: a value match
+    proves the capped candidate graph loses no cluster-level recall."""
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SUBSET_MOD == 0
+    )
+    pairs = lsh_verified_pairs(docs, CAPPED_CFG, FLAGSHIP_THETA)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("file_id"))
+    return connected_components(pairs.select("id_a", "id_b"), nodes=nodes).select(
+        F.col("file_id").alias("doc_id"), "cluster_id"
+    )
+
+
 def q_overlap_dup_pairs(spark, sf_dir):
     """The reference's ACTUAL pairing rule (SURVEY.md 2.4, reverse-engineered
     from the committed 70%/50% CSVs): multiset token-overlap
@@ -521,6 +556,7 @@ QUERIES = {
     "kgram_profile": q_kgram_profile,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
+    "near_dup_clusters_capped": q_near_dup_clusters_capped,
     "overlap_dup_pairs": q_overlap_dup_pairs,
     "minhash_signatures": q_minhash_signatures,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
@@ -735,6 +771,35 @@ ORACLE = {
         WHERE i::DOUBLE / greatest(sa.n, sb.n) >= 0.7
     """,
     "near_dup_clusters": f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}'))) AS tok
+          FROM documents WHERE doc_id % {SUBSET_MOD} = 0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ), pairs AS (
+          SELECT ia, ib FROM inter
+          JOIN sizes sa ON ia = sa.doc_id
+          JOIN sizes sb ON ib = sb.doc_id
+          WHERE i::DOUBLE / (sa.n + sb.n - i) >= {FLAGSHIP_THETA}
+        ), edges AS (
+          SELECT ia AS a, ib AS b FROM pairs
+          UNION SELECT ib, ia FROM pairs
+        ), reach(node, r) AS (
+          SELECT doc_id, doc_id FROM documents WHERE doc_id % {SUBSET_MOD} = 0
+          UNION
+          SELECT rr.node, e.b FROM reach rr JOIN edges e ON e.a = rr.r
+        )
+        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """,
+    # identical brute-force cluster oracle: the capped query must reproduce
+    # the UNCAPPED ground truth (capping only removes candidate edges, so a
+    # match == zero recall loss through the production skew path)
+    "near_dup_clusters_capped": f"""
         WITH RECURSIVE toks AS (
           SELECT doc_id,
                  unnest(list_distinct(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}'))) AS tok

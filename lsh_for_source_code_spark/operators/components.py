@@ -5,13 +5,13 @@ only, implicit); our clusters(file_id, cluster_id = min file_id in component)
 are the draw-independent artifact the north_rule's recall target is measured
 against.
 
-Algorithm: iterative min-label propagation as a DataFrame loop --
-each iteration is one shuffle (join edges with labels + groupBy min), with
-localCheckpoint to cut the growing lineage. Converges in O(diameter)
-iterations; dedup graphs are near-cliques / stars (diameter 2-3 after the
-star-topology candidate emission), so this beats the constant-factor-heavier
-large-star/small-star alternation in practice while using the identical
-per-iteration plan shape. GraphFrames deliberately avoided (SURVEY.md 7.3).
+Distributed algorithm: alternating large-star / small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14 --
+public algorithm). Each round is two groupBy+join shuffles and the edge set
+converges to per-component stars in O(log^2 n) rounds worst case (O(log n)
+in practice) regardless of graph diameter -- unlike plain min-label
+propagation, whose O(diameter) rounds degrade on containment-ladder chains
+(VERDICT r2 missing#2). GraphFrames deliberately avoided (SURVEY.md 7.3).
 """
 
 from __future__ import annotations
@@ -110,16 +110,7 @@ def connected_components(
         return labels.select(
             F.col("node").alias("file_id"), F.col("label").alias("cluster_id")
         )
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    sym = sym.localCheckpoint(eager=True)
-
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
+    labels = _large_small_star(e, max_iter=max_iter)
     if nodes is not None:
         all_nodes = nodes.select(F.col(nodes.columns[0]).cast("long").alias("node")).distinct()
         labels = (
@@ -127,35 +118,89 @@ def connected_components(
             .withColumn("label", F.coalesce("label", "node"))
             .select("node", "label")
         )
-    labels = labels.localCheckpoint(eager=True)
-
-    # Convergence detector: min-propagation only ever lowers labels, so the
-    # exact decimal sum of labels strictly decreases until the fixpoint --
-    # one tiny aggregation per iteration instead of a join + count.
-    def label_sum(df) -> int:
-        row = df.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first()
-        return int(row.s or 0)
-
-    prev_sum = label_sum(labels)
-    for _ in range(max_iter):
-        # neighbor labels: for each dst, the labels of its neighbors' srcs
-        msgs = sym.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "label")
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        new_sum = label_sum(new_labels)
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
     return labels.select(F.col("node").alias("file_id"), F.col("label").alias("cluster_id"))
+
+
+def _large_small_star(e: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.,
+    SoCC'14). Input: (src, dst) edges, any orientation. Output: (node, label)
+    for every node that appears in an edge, label = min id of its component.
+
+    Per round:
+      large-star(u): with m = min(N(u) + [u]), emit (v, m) for v in N(u),
+        v > u  -- strictly-larger neighbors attach to the local minimum.
+      small-star(u): over the (big -> small) edges large-star produced, with
+        m = min(N(u)), re-attach u and every other small neighbor to m.
+    Both operations preserve connectivity and only ever lower the partner a
+    node points at; the edge set converges to per-component stars rooted at
+    the component minimum in O(log^2 n) rounds worst case -- diameter-
+    independent, unlike label propagation (VERDICT r2 missing#2: containment
+    ladders make long chains). Each round = 2 groupBy + 2 join shuffles over
+    an edge set that shrinks monotonically; localCheckpoint cuts lineage.
+
+    Convergence check: at the fixpoint a full round leaves the (count,
+    hash-sum) edge checksum unchanged -- one tiny aggregate per round.
+    """
+    edges = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    # every node ever seen (roots drop out of the star edge set; singleton
+    # edges contracted away must still be labeled)
+    seen = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(df) -> tuple[int, int]:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return int(row.n), int(row.h or 0)
+
+    prev = checksum(edges)
+    for _ in range(max_iter):
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # large-star: m_u = min over N(u) and u itself (min(dst) vs src)
+        lmin = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        ls = (
+            sym.join(lmin, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star: ls edges all point big -> small, so N(u) here is the
+        # small-neighbor set; attach u and all of N(u) to m = min(N(u)).
+        smin = ls.groupBy("src").agg(F.min("dst").alias("m"))
+        ss = (
+            ls.join(smin, "src")
+            .filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(smin.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = ss
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint: edges are (member, root) stars; roots label themselves
+    return (
+        seen.join(
+            edges.select(F.col("src").alias("node"), F.col("dst").alias("label")),
+            "node",
+            "left",
+        )
+        .withColumn("label", F.coalesce("label", "node"))
+        .select("node", "label")
+    )
 
 
 def clusters_to_pairs(clusters: DataFrame) -> DataFrame:

@@ -3,6 +3,8 @@ connected components (SURVEY.md 5.2 items 1, 6)."""
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -116,16 +118,77 @@ def test_candidates_small_bucket_all_pairs(spark):
 
 
 def test_candidates_mega_bucket_star_topology(spark):
+    """mega_chunk_target=1 degrades to the pure star (r1/r2 behavior)."""
     n = 20  # > max_bucket_pairs=4
     bands = spark.createDataFrame(
         pd.DataFrame(
             {"file_id": range(n), "band_id": [0] * n, "band_hash": [7] * n}
         )
     )
-    rows = candidate_pairs(bands, CFG).collect()
+    cfg = replace(CFG, mega_chunk_target=1)
+    rows = candidate_pairs(bands, cfg).collect()
     # linear, not quadratic: n-1 star edges from the min-id anchor
     assert len(rows) == n - 1
     assert all(r.id_a == 0 for r in rows)
+
+
+def test_candidates_mega_bucket_chunked_topology(spark):
+    """Default mega path: random ~C-sized chunks emit exact all-pairs plus
+    chunk-min -> anchor edges. Invariants: (a) linear work -- far below the
+    quadratic pair count; (b) the candidate graph connects the WHOLE bucket
+    (pre-verify connectivity, the old star guarantee); (c) every member gets
+    multiple comparisons (the recall lever vs the pure star)."""
+    n = 200  # >> max_bucket_pairs=4
+    bands = spark.createDataFrame(
+        pd.DataFrame(
+            {"file_id": range(n), "band_id": [0] * n, "band_hash": [7] * n}
+        )
+    )
+    cfg = replace(CFG, mega_chunk_target=8)
+    rows = candidate_pairs(bands, cfg).collect()
+    # (a) linear: expected ~ n*(C-1)/2 + n/C edges, quadratic would be 19900
+    assert len(rows) < n * cfg.mega_chunk_target
+    # (b) connectivity: union-find over candidate edges -> one component
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(int(r.id_a)), find(int(r.id_b))
+        if ra != rb:
+            parent[ra] = rb
+    assert len({find(i) for i in range(n)}) == 1
+    # (c) average degree well above the star's ~1
+    deg = pd.Series(
+        [r.id_a for r in rows] + [r.id_b for r in rows]
+    ).value_counts()
+    assert deg.mean() >= 3.0
+
+
+def test_candidates_mega_emission_linear_in_bucket_size(spark):
+    """The scale invariant of the chunked mega path: emission is bounded by
+    sz * C/2 per band -- LINEAR in bucket size -- so a 2x bucket emits ~2x
+    (never 4x) candidates once sz >> C/2 * bands. sz=5000 in one band:
+    quadratic all-pairs would be 12.5M; the chunk bound is ~40k."""
+    cfg = replace(CFG, max_bucket_pairs=64, mega_chunk_target=16)
+    counts = {}
+    for n in (2500, 5000):
+        bands = spark.createDataFrame(
+            pd.DataFrame(
+                {"file_id": range(n), "band_id": [0] * n, "band_hash": [7] * n}
+            )
+        )
+        counts[n] = candidate_pairs(bands, cfg).count()
+        # random chunk sizes s ~ Binomial(n, 1/nchunks): E[pairs] =
+        # n*(C-1+var/mean)/2 ~ n*C/2; +10% covers hash-mod variance
+        cap = int(1.1 * (n * (cfg.mega_chunk_target + 1) / 2)) + n // cfg.mega_chunk_target + 2
+        assert counts[n] <= cap, f"sz={n}: {counts[n]} > linear cap {cap}"
+    growth = counts[5000] / counts[2500]
+    assert growth < 2.5, f"emission grew {growth:.2f}x for a 2x bucket"
 
 
 def test_candidates_n_shared_bands_dedup(spark):
@@ -212,6 +275,45 @@ def test_connected_components_distributed_path_matches_driver_path(spark):
     assert via_driver == via_labelprop
 
 
+def test_connected_components_long_chain_distributed(spark):
+    """VERDICT r2 missing#2: the distributed path must converge on a long
+    chain (containment-ladder topology) in far fewer rounds than the chain's
+    diameter. A 300-node path has diameter 299; large/small-star contracts
+    it within the default max_iter=25 (label propagation would need ~300
+    rounds and return WRONG labels here)."""
+    n = 300
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    )
+    got = {
+        r.file_id: r.cluster_id
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_random_graph_both_paths(spark):
+    """Cross-validate driver union-find vs distributed star contraction on a
+    random graph with mixed component shapes (cliques, chains, singletons)."""
+    rng = np.random.default_rng(17)
+    n = 400
+    src = rng.integers(0, n, size=350)
+    dst = rng.integers(0, n, size=350)
+    edges = spark.createDataFrame(pd.DataFrame({"id_a": src, "id_b": dst}))
+    nodes = spark.createDataFrame(pd.DataFrame({"file_id": list(range(n))}))
+    via_driver = {
+        (r.file_id, r.cluster_id)
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    via_star = {
+        (r.file_id, r.cluster_id)
+        for r in connected_components(
+            edges, nodes=nodes, driver_max_edges=0
+        ).collect()
+    }
+    assert via_driver == via_star
+
+
 def test_clusters_to_pairs(spark):
     clusters = spark.createDataFrame(
         pd.DataFrame({"file_id": [1, 2, 3, 9], "cluster_id": [1, 1, 1, 9]})
@@ -230,10 +332,12 @@ def test_simhash_candidates_find_near_identical(spark):
 
 def test_simhash_mega_block_star_topology(spark):
     """A hot block value (here: identical fingerprints, so all 4 blocks are
-    hot) must emit O(n) star pairs, not O(n^2) (VERDICT r1 wrong#2)."""
+    hot) must emit O(n) star pairs, not O(n^2) (VERDICT r1 wrong#2).
+    mega_chunk_target=1 degrades to the pure star."""
     n = 30
     cfg = PipelineConfig(
-        num_perm=16, bands=8, rows_per_band=2, simhash_max_block=8
+        num_perm=16, bands=8, rows_per_band=2, simhash_max_block=8,
+        mega_chunk_target=1,
     )
     signed = spark.createDataFrame(
         pd.DataFrame({"file_id": range(n), "simhash": [0x1234] * n})
@@ -242,6 +346,32 @@ def test_simhash_mega_block_star_topology(spark):
     # hamming(identical)=0 <= t, star topology: n-1 anchor edges only
     assert len(rows) == n - 1
     assert all(r.id_a == 0 and r.hamming == 0 for r in rows)
+
+
+def test_simhash_mega_block_chunked_recall(spark):
+    """r2 ADVICE (candidates.py low): the pure star gives each mega-block
+    member exactly ONE comparison (vs the min-id anchor); the chunked
+    topology gives C-1 direct member-member comparisons. Here ids 1..n are
+    pairwise hamming-0 while anchor id 0 is 8 bits away (> t=3): the star's
+    anchor edges all fail the hamming filter in the anchor's own block, so
+    direct member pairs must come from chunk all-pairs. Work stays linear."""
+    n = 100
+    cfg = PipelineConfig(
+        num_perm=16, bands=8, rows_per_band=2, simhash_max_block=8,
+        mega_chunk_target=8,
+    )
+    signed = spark.createDataFrame(
+        pd.DataFrame(
+            {"file_id": range(n + 1), "simhash": [0xFF00] + [0x0F0F] * n}
+        )
+    )
+    rows = simhash_candidate_pairs(signed, cfg).collect()
+    # anchor id 0 never appears: hamming(0xFF00, 0x0F0F) = 8 > t
+    assert all(r.id_a >= 1 and r.hamming == 0 for r in rows)
+    # members got direct pairs, more than a single star would give...
+    assert len(rows) > n
+    # ...but far fewer than quadratic all-pairs (linear in block size)
+    assert len(rows) < 4 * n * cfg.mega_chunk_target < n * (n - 1) // 2
 
 
 def test_simhash_small_blocks_unchanged_by_cap(spark):
@@ -272,11 +402,11 @@ def test_candidates_band_agreement_prefilter(spark):
     multi-band pairs and star-topology anchor edges."""
     cfg1 = PipelineConfig(
         num_perm=16, bands=8, rows_per_band=2, max_bucket_pairs=4,
-        min_band_agreement=1,
+        min_band_agreement=1, mega_chunk_target=1,
     )
     cfg2 = PipelineConfig(
         num_perm=16, bands=8, rows_per_band=2, max_bucket_pairs=4,
-        min_band_agreement=2,
+        min_band_agreement=2, mega_chunk_target=1,
     )
     bands = spark.createDataFrame(
         pd.DataFrame(
@@ -295,3 +425,25 @@ def test_candidates_band_agreement_prefilter(spark):
     star = {(10, j) for j in range(11, 20)}
     assert got1 == {(1, 2), (1, 3), (2, 3)} | star
     assert got2 == {(1, 2)} | star
+
+    # default chunked topology: mega-bucket edges are equally exempt from
+    # the agreement filter -- the whole bucket stays connected at agreement=2
+    cfg3 = PipelineConfig(
+        num_perm=16, bands=8, rows_per_band=2, max_bucket_pairs=4,
+        min_band_agreement=2, mega_chunk_target=8,
+    )
+    got3 = candidate_pairs(bands, cfg3).collect()
+    assert {(r.id_a, r.id_b) for r in got3} >= {(1, 2)}
+    mega_ids = set(range(10, 20))
+    parent = {i: i for i in mega_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in got3:
+        if r.id_a in mega_ids and r.id_b in mega_ids:
+            parent[find(r.id_a)] = find(r.id_b)
+    assert len({find(i) for i in mega_ids}) == 1
