@@ -108,6 +108,25 @@ class PipelineConfig:
     # test at sz=5000). A band-LIMITED variant (chunking only 4-8 bands) was
     # measured and rejected: 20k recall fell to 0.94-0.96 because a member's
     # mega bands are spread uniformly over all 64 band ids.
+    mega_refine_levels: int = 4
+    # Similarity-preserving refinement of mega buckets BEFORE the chunked
+    # fallback: each level extends the bucket key with one more MinHash perm
+    # (the next signature row, mod num_perm), re-measures occupancy, and
+    # emits exact all-pairs from sub-buckets that fell under the cap. A
+    # truly-similar pair (jaccard s) stays together per level w.p. s, while
+    # a JUNK bucket -- members agreeing only on a globally-common token's
+    # min -- splits by a factor of the members' perm diversity (~100x).
+    # Junk buckets are the scale killer this exists for: their size grows
+    # LINEARLY with corpus size (a common token's band value is shared by
+    # every file containing it and nothing hash-smaller), so pairs whose
+    # shared tokens are all global lose every band to the cap. MEASURED at
+    # 200k: type2 (consistent renames -- shared tokens are exclusively
+    # keywords/numbers) cluster recall was 0.167 under the pure star and
+    # 0.325 under chunking alone; one-pass refinement at L=4 with the
+    # staged emission policy (<=C sub-buckets at every level, <=cap from
+    # level 2 on) reaches type2 0.945 / family-stratum 0.9913 at 143s
+    # pipeline wall (L=3: 0.927/0.9886 at 108s; emit-cap only at the last
+    # level: 0.883/0.9816 at 100s). 0 disables.
     salt_partitions: int = 16     # salting factor for mega-bucket repartition
     min_band_agreement: int = 1
     # OPTIONAL precision/cost knob: candidate pairs must share >= this many

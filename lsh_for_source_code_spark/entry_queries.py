@@ -83,7 +83,7 @@ def lsh_verified_pairs(docs: DataFrame, cfg: PipelineConfig, theta: float) -> Da
     """shingle -> sign -> band -> candidates -> exact-verify, jaccard-only."""
     shingled, signed = _shingled_signed(docs, cfg)
     bands = band_files(signed, cfg)
-    cands = candidate_pairs(bands, cfg)
+    cands = candidate_pairs(bands, cfg, signed=signed)
     pairs = verify_pairs(cands, shingled, cfg, compute_overlap=False)
     return pairs.filter(F.col("jaccard") >= theta).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -447,7 +447,7 @@ def q_overlap_dup_pairs(spark, sf_dir):
     )
     shingled, signed = _shingled_signed(docs, cfg)
     bands = band_files(signed, cfg)
-    cands = candidate_pairs(bands, cfg)
+    cands = candidate_pairs(bands, cfg, signed=signed)
     pairs = verify_pairs(cands, shingled, cfg)
     return pairs.select(
         "id_a", "id_b", F.round("overlap", 6).alias("overlap")

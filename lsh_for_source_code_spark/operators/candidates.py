@@ -52,8 +52,14 @@ def bucket_occupancy(bands: DataFrame, top_k: int = 100) -> DataFrame:
     )
 
 
-def candidate_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def candidate_pairs(
+    bands: DataFrame, cfg: PipelineConfig, signed: DataFrame | None = None
+) -> DataFrame:
     """(id_a, id_b, n_shared_bands) with id_a < id_b.
+
+    `signed` (optional, (file_id, minhash)) enables similarity-preserving
+    refinement of mega buckets (cfg.mega_refine_levels) before the chunked
+    fallback -- see _refine_mega below.
 
     Bucket size + anchor come from a SALTED two-level aggregation
     (north_rule: salted repartitioning for mega-band skew): level 1 groups
@@ -115,41 +121,25 @@ def candidate_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # keys reach family-stratum recall 0.9936 at 23.7s vs 0.9893 at 22.2s
     # for band-independent keys (which dedup better but give each member
     # the SAME partners in every band) -- diversity wins at equal cost.
-    mega = tagged.filter(F.col("sz") > cfg.max_bucket_pairs)
-    chunk_target = max(int(cfg.mega_chunk_target), 1)
-    n_chunks = F.greatest(
-        F.ceil(F.col("sz") / F.lit(chunk_target)).cast("long"), F.lit(1).cast("long")
+    mega = tagged.filter(F.col("sz") > cfg.max_bucket_pairs).select(
+        "band_id",
+        F.col("band_hash").alias("_key"),
+        "file_id",
+        "sz",
+        "anchor",
     )
-    mega_c = mega.withColumn(
-        "_chunk", F.pmod(F.xxhash64(*BAND_KEY, "file_id"), n_chunks)
-    ).select(*BAND_KEY, "_chunk", "file_id", "anchor")
-    if chunk_target > 1:
-        cl = mega_c.alias("l")
-        cr = mega_c.alias("r").hint("shuffle_hash")
-        chunk_pairs = cl.join(
-            cr,
-            on=[F.col(f"l.{k}") == F.col(f"r.{k}") for k in BAND_KEY]
-            + [
-                F.col("l._chunk") == F.col("r._chunk"),
-                F.col("l.file_id") < F.col("r.file_id"),
-            ],
-        ).select(
-            F.col("l.file_id").alias("id_a"), F.col("r.file_id").alias("id_b")
-        )
-        anchor_edges = (
-            mega_c.groupBy(*BAND_KEY, "_chunk")
-            .agg(F.min("file_id").alias("_cmin"), F.min("anchor").alias("_anchor"))
-            .filter(F.col("_cmin") != F.col("_anchor"))
-            .select(F.col("_anchor").alias("id_a"), F.col("_cmin").alias("id_b"))
-        )
-        pairs_mega = chunk_pairs.unionByName(anchor_edges)
-    else:
-        pairs_mega = mega.filter(F.col("file_id") != F.col("anchor")).select(
-            F.col("anchor").alias("id_a"), F.col("file_id").alias("id_b")
-        )
+    levels = int(cfg.mega_refine_levels) if signed is not None else 0
+    refined_exact, residual = _refine_mega(mega, signed, cfg, levels)
+    pairs_mega = _chunked_mega_pairs(residual, cfg)
 
+    # refined pairs are mega-origin: flagged _star so the optional band-
+    # agreement prefilter never drops them (their per-level duplicate
+    # emissions also make n_shared_bands an agreement-EVENT count for them,
+    # not a distinct-band count -- harmless because nothing downstream
+    # filters star-flagged pairs on it)
     merged = (
         pairs_small.withColumn("_star", F.lit(False))
+        .unionByName(refined_exact.withColumn("_star", F.lit(True)))
         .unionByName(pairs_mega.withColumn("_star", F.lit(True)))
         .groupBy("id_a", "id_b")
         .agg(
@@ -165,6 +155,142 @@ def candidate_pairs(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
             (F.col("n_shared_bands") >= cfg.min_band_agreement) | F.col("_star")
         )
     return merged.drop("_star")
+
+
+def _refine_mega(
+    mega: DataFrame, signed: DataFrame | None, cfg: PipelineConfig, levels: int
+) -> tuple[DataFrame, DataFrame]:
+    """Similarity-preserving mega-bucket refinement (the scale defense
+    against JUNK buckets -- see config.mega_refine_levels).
+
+    Each level extends the bucket key with one more MinHash perm (the rows
+    following this band's own, mod num_perm) and re-measures occupancy with
+    the same salted two-level aggregation. Sub-buckets that fall to
+    2..max_bucket_pairs members emit exact all-pairs immediately; buckets
+    still mega continue to the next level. The split is self-selecting:
+    members agreeing only by accident (a globally common token's min) have
+    diverse extension perms and scatter, while genuinely cohesive groups
+    (boilerplate families sharing most tokens) share extension minima too
+    and survive intact to the chunked fallback -- which is exactly where
+    chunk partners are similar enough for anchor/chunk edges to verify.
+
+    Returns (refined_exact_pairs(id_a, id_b), residual_mega rows with
+    columns (band_id, _key, file_id, sz, anchor)).
+    """
+    empty_pairs = mega.sparkSession.createDataFrame(
+        [], schema="id_a long, id_b long"
+    )
+    if levels <= 0:
+        return empty_pairs, mega
+    r, p = cfg.rows_per_band, cfg.num_perm
+    C = max(int(cfg.mega_chunk_target), 2)
+    cap = int(cfg.max_bucket_pairs)
+    # ONE-PASS over all levels (a per-level loop of stats+join+self-join was
+    # measured ~40s slower at 200k): the cumulative keys k_1..k_L are pure
+    # expressions over the signature array, so one join attaches them all,
+    # posexplode yields (level, key) rows, and a single salted stats pass +
+    # a single bounded self-join handle every level together.
+    keys = []
+    k = F.col("_key")
+    for l in range(levels):
+        k = F.xxhash64(
+            k,
+            F.element_at(
+                "minhash",
+                ((F.col("band_id") * r + F.lit(r + l)) % p + 1).cast("int"),
+            ),
+        )
+        keys.append(k)
+    work = (
+        mega.select("band_id", "_key", "file_id")
+        .join(signed.select("file_id", "minhash").hint("shuffle_hash"), "file_id")
+        .select(
+            "band_id",
+            "file_id",
+            F.posexplode(F.array(*keys)).alias("_lvl", "_k"),
+        )
+    )
+    sub = work.withColumn(
+        "_salt", F.pmod(F.xxhash64("file_id"), F.lit(cfg.salt_partitions))
+    ).groupBy("_lvl", "band_id", "_k", "_salt").agg(
+        F.count("*").alias("_c"), F.min("file_id").alias("_m")
+    )
+    st = sub.groupBy("_lvl", "band_id", "_k").agg(
+        F.sum("_c").alias("sz"), F.min("_m").alias("anchor")
+    )
+    tagged = track(
+        work.join(st.hint("shuffle_hash"), on=["_lvl", "band_id", "_k"]).persist()
+    )
+    # Emission policy: sub-buckets <= C emit exact all-pairs at EVERY level
+    # (a bucket already small at level l re-emits subdivided at l+1 -- the
+    # duplicates collapse in the final pair groupBy); at the LAST level the
+    # threshold relaxes to max_bucket_pairs, catching agreeing pairs whose
+    # bucket landed in (C, cap] -- few junk buckets survive `levels` splits,
+    # so the extra all-pairs stay cheap while borderline recall (type2-like
+    # pairs) keeps most of the emit-at-cap quality. Measured at 200k: emit-
+    # at-C-only lost type2 recall 0.94 -> 0.86; emit-at-cap at every level
+    # cost 21.4M deduped candidates and 113s of verify.
+    emit = tagged.filter(
+        (F.col("sz") >= 2)
+        & (
+            (F.col("sz") <= C)
+            | ((F.col("_lvl") >= 1) & (F.col("sz") <= cap))
+        )
+    ).select("_lvl", "band_id", "_k", "file_id")
+    el, er = emit.alias("l"), emit.alias("r").hint("shuffle_hash")
+    exact = el.join(
+        er,
+        on=[
+            F.col("l._lvl") == F.col("r._lvl"),
+            F.col("l.band_id") == F.col("r.band_id"),
+            F.col("l._k") == F.col("r._k"),
+            F.col("l.file_id") < F.col("r.file_id"),
+        ],
+    ).select(
+        F.col("l.file_id").alias("id_a"), F.col("r.file_id").alias("id_b")
+    )
+    residual = tagged.filter(
+        (F.col("_lvl") == levels - 1) & (F.col("sz") > cap)
+    ).select("band_id", F.col("_k").alias("_key"), "file_id", "sz", "anchor")
+    return exact, residual
+
+
+def _chunked_mega_pairs(mega: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Terminal fallback for buckets still mega after refinement: random
+    ~C-sized chunks emit exact all-pairs + chunk-min -> anchor edges.
+    Input columns: (band_id, _key, file_id, sz, anchor)."""
+    chunk_target = max(int(cfg.mega_chunk_target), 1)
+    n_chunks = F.greatest(
+        F.ceil(F.col("sz") / F.lit(chunk_target)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    mega_c = mega.withColumn(
+        "_chunk", F.pmod(F.xxhash64("band_id", "_key", "file_id"), n_chunks)
+    ).select("band_id", "_key", "_chunk", "file_id", "anchor")
+    if chunk_target > 1:
+        cl = mega_c.alias("l")
+        cr = mega_c.alias("r").hint("shuffle_hash")
+        chunk_pairs = cl.join(
+            cr,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l._key") == F.col("r._key"),
+                F.col("l._chunk") == F.col("r._chunk"),
+                F.col("l.file_id") < F.col("r.file_id"),
+            ],
+        ).select(
+            F.col("l.file_id").alias("id_a"), F.col("r.file_id").alias("id_b")
+        )
+        anchor_edges = (
+            mega_c.groupBy("band_id", "_key", "_chunk")
+            .agg(F.min("file_id").alias("_cmin"), F.min("anchor").alias("_anchor"))
+            .filter(F.col("_cmin") != F.col("_anchor"))
+            .select(F.col("_anchor").alias("id_a"), F.col("_cmin").alias("id_b"))
+        )
+        return chunk_pairs.unionByName(anchor_edges)
+    return mega.filter(F.col("file_id") != F.col("anchor")).select(
+        F.col("anchor").alias("id_a"), F.col("file_id").alias("id_b")
+    )
 
 
 def simhash_candidate_pairs(

@@ -171,7 +171,9 @@ def run_pipeline(
 
     # S4/S5: banding + skew-capped candidates.
     bands = store.materialize("bands", band_files(signed, cfg))
-    cands = store.materialize("candidate_pairs", candidate_pairs(bands, cfg))
+    cands = store.materialize(
+        "candidate_pairs", candidate_pairs(bands, cfg, signed=signed)
+    )
 
     # S6: exact verification.
     verified = store.materialize(

@@ -191,6 +191,37 @@ def test_candidates_mega_emission_linear_in_bucket_size(spark):
     assert growth < 2.5, f"emission grew {growth:.2f}x for a 2x bucket"
 
 
+def test_candidates_mega_refinement_finds_agreeing_pairs(spark):
+    """Junk-bucket refinement (config.mega_refine_levels): a mega bucket of
+    mutually-dissimilar files hides two genuinely-agreeing pairs. With
+    `signed` provided, the extension perms isolate the agreeing pairs into
+    tiny refined sub-buckets and they MUST be emitted exactly -- under the
+    pure star/chunk fallback they would only surface by chunk lottery."""
+    n = 400
+    rng = np.random.default_rng(11)
+    cfg = replace(
+        CFG, max_bucket_pairs=4, mega_chunk_target=2, mega_refine_levels=2
+    )
+    # every file shares band (0, 7); minhash arrays are random EXCEPT the
+    # planted pairs, which agree on the refinement perms (2, 3) and beyond
+    mh = rng.integers(1, 1 << 40, size=(n, cfg.num_perm)).astype("int64")
+    for a, b in ((0, 1), (2, 3)):
+        mh[b] = mh[a]
+    bands = spark.createDataFrame(
+        pd.DataFrame({"file_id": range(n), "band_id": [0] * n, "band_hash": [7] * n})
+    )
+    signed = spark.createDataFrame(
+        pd.DataFrame({"file_id": range(n), "minhash": [list(r) for r in mh]})
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in candidate_pairs(bands, cfg, signed=signed).collect()
+    }
+    assert {(0, 1), (2, 3)} <= got
+    # junk stays bounded: far below the 79,800 quadratic pair count
+    assert len(got) < n * cfg.max_bucket_pairs * cfg.mega_refine_levels
+
+
 def test_candidates_n_shared_bands_dedup(spark):
     bands = spark.createDataFrame(
         pd.DataFrame(
