@@ -87,8 +87,11 @@ def _warm_jvm(spark):
     release_all()
 
 
-def run_pipeline_bench(spark) -> dict:
-    """Full S1..S7 dedup pipeline on the synthetic corpus; files/sec."""
+def run_pipeline_bench(spark, eval_recall: bool = True) -> dict:
+    """Full S1..S7 dedup pipeline on the synthetic corpus; files/sec.
+    eval_recall=False skips the (untimed) ground-truth evaluation -- used by
+    the scaling children, where the output is identical across parallelism
+    levels (asserted by the determinism tests) and only throughput matters."""
     from lsh_for_source_code_spark.config import PipelineConfig
     from lsh_for_source_code_spark.plans.pipeline import run_pipeline
 
@@ -107,8 +110,18 @@ def run_pipeline_bench(spark) -> dict:
 
     # Ground-truth cluster recall at FULL bench scale (VERDICT r2 wrong#1):
     # exact within-family >=theta pairs vs same-cluster membership, under the
-    # PRODUCTION config (star cap + band agreement active). Evaluation only
-    # -- runs outside the timed window.
+    # PRODUCTION config (mega refinement + chunked fallback active).
+    # Evaluation only -- runs outside the timed window.
+    rec = {}
+    if not eval_recall:
+        release_all()
+        return {
+            "n_files": BENCH_FILES,
+            "wall_sec": round(wall, 2),
+            "files_per_sec": round(BENCH_FILES / wall, 1),
+            "verified_pairs": n_pairs,
+            "n_clusters": n_clusters,
+        }
     from lsh_for_source_code_spark.plans.truth_eval import (
         cluster_recall,
         family_truth_pairs,
@@ -187,7 +200,7 @@ def pipeline_only():
     spark = make_spark(CPUS)
     # warm-up: JVM + corpus generation excluded from the measured run
     _corpus_parquet(spark)
-    res = run_pipeline_bench(spark)
+    res = run_pipeline_bench(spark, eval_recall=False)
     res["cpus"] = CPUS
     print("PIPELINE_RESULT " + json.dumps(res))
 

@@ -411,6 +411,32 @@ CAPPED_CFG = PipelineConfig(
 )
 
 
+#: k=3 shingle config (NOTES r2 item 8): every oracle query used k=1 word
+#: tokens (reference granularity); this one exercises the k-gram window
+#: combine (functions/hashing.py kgram_ids) end-to-end against a DuckDB
+#: list-comprehension trigram oracle. At 10^12 files k>=3 is the production
+#: choice -- rare shingles keep band values high-entropy, the junk-bucket
+#: defense mega refinement exists for k=1 (config.mega_refine_levels).
+K3_CFG = PipelineConfig(
+    num_perm=128,
+    bands=64,
+    rows_per_band=2,
+    shingle_k=3,
+    jaccard_threshold=FLAGSHIP_THETA,
+    overlap_threshold=None,
+    max_bucket_pairs=1_000_000,
+    min_band_agreement=1,
+)
+
+
+def q_near_dup_pairs_k3(spark, sf_dir):
+    """Flagship LSH pipeline at shingle_k=3 (trigram shingles), theta=0.9."""
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SUBSET_MOD == 0
+    )
+    return lsh_verified_pairs(docs, K3_CFG, FLAGSHIP_THETA)
+
+
 def q_near_dup_clusters_capped(spark, sf_dir):
     """Connected components over verified pairs with the SKEW CAP ACTIVE
     (mega-bucket chunked topology + anchor edges + salted stats). Same
@@ -555,6 +581,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "kgram_profile": q_kgram_profile,
     "near_dup_pairs": q_near_dup_pairs,
+    "near_dup_pairs_k3": q_near_dup_pairs_k3,
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_clusters_capped": q_near_dup_clusters_capped,
     "overlap_dup_pairs": q_overlap_dup_pairs,
@@ -739,6 +766,31 @@ ORACLE = {
         ), inter AS (
           SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
           FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT ia AS id_a, ib AS id_b,
+               round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON ia = sa.doc_id
+        JOIN sizes sb ON ib = sb.doc_id
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= {FLAGSHIP_THETA}
+    """,
+    "near_dup_pairs_k3": f"""
+        WITH tl AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}') AS toks
+          FROM documents WHERE doc_id % {SUBSET_MOD} = 0
+        ), tris AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   [toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2]
+                    FOR i IN range(1, greatest(len(toks) - 1, 1))])) AS tri
+          FROM tl
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM tris GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+          FROM tris a JOIN tris b USING (tri)
           WHERE a.doc_id < b.doc_id GROUP BY 1, 2
         )
         SELECT ia AS id_a, ib AS id_b,

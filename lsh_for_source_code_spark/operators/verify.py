@@ -78,27 +78,42 @@ class _RollingHasher:
     Two independent (p, B) pairs are combined into one 62-bit key so a
     collision requires agreeing in both fields."""
 
+    # process-global power tables, grown geometrically and shared across all
+    # strings in all batches (NOTES r2 item 3: the per-string scalar loop
+    # over python ints was the dominant non-numpy cost of this channel)
+    _POW_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
     def __init__(self, codes: np.ndarray):
         self.n = len(codes)
         c = codes.astype(np.int64)
         self._t1, self._inv_pow1, self._pow1 = self._tables(c, _LCS_P1, _LCS_B1)
         self._t2, self._inv_pow2, self._pow2 = self._tables(c, _LCS_P2, _LCS_B2)
 
-    @staticmethod
-    def _tables(c: np.ndarray, p: int, b: int):
+    @classmethod
+    def _powers(cls, p: int, b: int, n: int):
+        pows, inv_pows = cls._POW_CACHE.get((p, b), (None, None))
+        if pows is None or len(pows) <= n:
+            size = max(n + 1, 1 << 12)
+            if pows is not None:
+                size = max(size, 2 * len(pows))  # geometric growth
+            binv = pow(b, p - 2, p)  # Fermat inverse
+            new_p = np.empty(size, dtype=np.int64)
+            new_i = np.empty(size, dtype=np.int64)
+            new_p[0] = new_i[0] = 1
+            pv = iv = 1
+            for i in range(1, size):
+                pv = (pv * b) % p
+                iv = (iv * binv) % p
+                new_p[i] = pv
+                new_i[i] = iv
+            pows, inv_pows = new_p, new_i
+            cls._POW_CACHE[(p, b)] = (pows, inv_pows)
+        return pows, inv_pows
+
+    @classmethod
+    def _tables(cls, c: np.ndarray, p: int, b: int):
         n = len(c)
-        binv = pow(b, p - 2, p)  # Fermat inverse
-        pows = np.empty(n + 1, dtype=np.int64)
-        inv_pows = np.empty(n + 1, dtype=np.int64)
-        pows[0] = inv_pows[0] = 1
-        # O(n) scalar loop over *python ints* only for the power tables --
-        # one multiply per element; the per-probe work below is pure numpy
-        pv = iv = 1
-        for i in range(1, n + 1):
-            pv = (pv * b) % p
-            iv = (iv * binv) % p
-            pows[i] = pv
-            inv_pows[i] = iv
+        pows, inv_pows = cls._powers(p, b, n)
         t = np.zeros(n + 1, dtype=np.int64)
         if n:
             contrib = (c % p) * inv_pows[:n] % p  # products < 2^62: exact
