@@ -430,11 +430,13 @@ K3_CFG = PipelineConfig(
 
 
 def q_near_dup_pairs_k3(spark, sf_dir):
-    """Flagship LSH pipeline at shingle_k=3 (trigram shingles), theta=0.9."""
-    docs = _read(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % SUBSET_MOD == 0
+    """Flagship LSH pipeline at shingle_k=3 (trigram shingles), theta=0.9.
+    Runs on the FULL documents table (no subset): trigram jaccard is far
+    sparser than token jaccard, so the pair set stays small (25 rows at
+    sf0.01) while staying non-trivial at every tested SF."""
+    return lsh_verified_pairs(
+        _read(spark, sf_dir, "documents"), K3_CFG, FLAGSHIP_THETA
     )
-    return lsh_verified_pairs(docs, K3_CFG, FLAGSHIP_THETA)
 
 
 def q_near_dup_clusters_capped(spark, sf_dir):
@@ -779,7 +781,7 @@ ORACLE = {
         WITH tl AS (
           SELECT doc_id,
                  regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}') AS toks
-          FROM documents WHERE doc_id % {SUBSET_MOD} = 0
+          FROM documents
         ), tris AS (
           SELECT doc_id,
                  unnest(list_distinct(
