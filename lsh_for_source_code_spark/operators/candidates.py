@@ -312,6 +312,16 @@ def simhash_candidate_pairs(
     member gets C-1 direct hamming comparisons plus a chunk-min -> anchor
     connectivity edge). All emitted pairs still pass the hamming filter, so
     the output contract (hamming <= t) is unchanged.
+
+    Extreme-scale note: a 16-bit block value holds ~n/2^16 files even for
+    UNRELATED fingerprints, so at 10^12 files every block is a ~15M-member
+    junk block and recall rides entirely on the chunk lottery. MinHash-style
+    key refinement cannot help here -- extending the key with other
+    fingerprint bits breaks the pigeonhole guarantee (those bits may carry
+    the <= t differences). The production lever is the Manku et al. (WWW'07)
+    table design: wider fingerprints and/or more tables keyed on longer
+    bit-prefixes of block combinations, sized so key entropy >> log2(n).
+    Block width/count already derive from cfg.simhash_bits / hamming_max.
     """
     t = cfg.simhash_hamming_max
     n_blocks = t + 1
