@@ -210,16 +210,19 @@ def _refine_mega(
             F.posexplode(F.array(*keys)).alias("_lvl", "_k"),
         )
     )
+    work = track(work.persist())
     sub = work.withColumn(
         "_salt", F.pmod(F.xxhash64("file_id"), F.lit(cfg.salt_partitions))
     ).groupBy("_lvl", "band_id", "_k", "_salt").agg(
         F.count("*").alias("_c"), F.min("file_id").alias("_m")
     )
-    st = sub.groupBy("_lvl", "band_id", "_k").agg(
-        F.sum("_c").alias("sz"), F.min("_m").alias("anchor")
-    )
-    tagged = track(
-        work.join(st.hint("shuffle_hash"), on=["_lvl", "band_id", "_k"]).persist()
+    # st is consumed by two branches (emit keys + residual keys): persist the
+    # COMPACT stats table -- not the full exploded work join -- so the salted
+    # aggregation runs once
+    st = track(
+        sub.groupBy("_lvl", "band_id", "_k")
+        .agg(F.sum("_c").alias("sz"), F.min("_m").alias("anchor"))
+        .persist()
     )
     # Emission policy: sub-buckets <= C emit exact all-pairs at EVERY level
     # (a bucket already small at level l re-emits subdivided at l+1 -- the
@@ -230,28 +233,37 @@ def _refine_mega(
     # pairs) keeps most of the emit-at-cap quality. Measured at 200k: emit-
     # at-C-only lost type2 recall 0.94 -> 0.86; emit-at-cap at every level
     # cost 21.4M deduped candidates and 113s of verify.
-    emit = tagged.filter(
+    # Rather than tagging EVERY work row with its bucket stats (a full-width
+    # join of the exploded table, the r3 S5 scaling floor), work joins only
+    # the emitting keys -- and because the emit join, the pair self-join and
+    # the residual join all hash on the same key, the exchanges are reused.
+    KEY = ["_lvl", "band_id", "_k"]
+    emit_keys = st.filter(
         (F.col("sz") >= 2)
         & (
             (F.col("sz") <= C)
             | ((F.col("_lvl") >= 1) & (F.col("sz") <= cap))
         )
-    ).select("_lvl", "band_id", "_k", "file_id")
+    ).select(*KEY)
+    emit = work.join(emit_keys.hint("shuffle_hash"), on=KEY).select(
+        *KEY, "file_id"
+    )
     el, er = emit.alias("l"), emit.alias("r").hint("shuffle_hash")
     exact = el.join(
         er,
-        on=[
-            F.col("l._lvl") == F.col("r._lvl"),
-            F.col("l.band_id") == F.col("r.band_id"),
-            F.col("l._k") == F.col("r._k"),
-            F.col("l.file_id") < F.col("r.file_id"),
-        ],
+        on=[F.col(f"l.{k}") == F.col(f"r.{k}") for k in KEY]
+        + [F.col("l.file_id") < F.col("r.file_id")],
     ).select(
         F.col("l.file_id").alias("id_a"), F.col("r.file_id").alias("id_b")
     )
-    residual = tagged.filter(
+    res_keys = st.filter(
         (F.col("_lvl") == levels - 1) & (F.col("sz") > cap)
-    ).select("band_id", F.col("_k").alias("_key"), "file_id", "sz", "anchor")
+    ).select(*KEY, "sz", "anchor")
+    residual = (
+        work.filter(F.col("_lvl") == levels - 1)
+        .join(res_keys.hint("shuffle_hash"), on=KEY)
+        .select("band_id", F.col("_k").alias("_key"), "file_id", "sz", "anchor")
+    )
     return exact, residual
 
 
