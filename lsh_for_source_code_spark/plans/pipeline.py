@@ -101,7 +101,11 @@ class CheckpointStore:
             self.metrics.write(self.spark, self.root)
 
 
-def with_file_id(code_files: DataFrame, check_collisions: bool = False) -> DataFrame:
+def with_file_id(
+    code_files: DataFrame,
+    check_collisions: bool = False,
+    id_expr=None,
+) -> DataFrame:
     """Stable 64-bit id from the natural key (input_hint columns).
 
     64-bit ids birthday-collide with near certainty at ~2^32 distinct keys
@@ -109,8 +113,16 @@ def with_file_id(code_files: DataFrame, check_collisions: bool = False) -> DataF
     128-bit key (sha2 split into two longs) or run the collision audit:
     `check_collisions=True` compares count(distinct natural key) against
     count(distinct file_id) in ONE aggregate job and raises on mismatch.
-    Off by default -- it costs a full pass over the input."""
-    out = code_files.withColumn("file_id", F.xxhash64("repo", "path", "commit"))
+    The audit scans only the three key columns (columnar pruning -- content
+    never moves), so its cost is a small fraction of any real run;
+    `run_pipeline` runs it by default (cfg.check_id_collisions).
+
+    `id_expr` overrides the id column (tests force collisions with it; a
+    128-bit-per-half strategy would pass e.g. one sha2 half here)."""
+    out = code_files.withColumn(
+        "file_id",
+        F.xxhash64("repo", "path", "commit") if id_expr is None else id_expr,
+    )
     if check_collisions:
         row = out.agg(
             F.countDistinct("repo", "path", "commit").alias("nk"),
@@ -137,7 +149,7 @@ def run_pipeline(
         spark, checkpoint_dir, metrics=RunMetrics(config_id=cfg.config_id)
     )
 
-    ids = with_file_id(code_files)
+    ids = with_file_id(code_files, check_collisions=cfg.check_id_collisions)
 
     # S1: shingle + sha. `content` is dropped immediately after -- at 100 TB
     # the content column dominates bytes; nothing downstream reads it except

@@ -478,3 +478,43 @@ def test_candidates_band_agreement_prefilter(spark):
         if r.id_a in mega_ids and r.id_b in mega_ids:
             parent[find(r.id_a)] = find(r.id_b)
     assert len({find(i) for i in mega_ids}) == 1
+
+
+def test_verify_overlap_jvm_matches_pandas(spark):
+    """The JVM map-lookup overlap expression (multiset_overlap_jvm) and the
+    batched-lexsort pandas UDF must agree exactly (VERDICT r2 next#6)."""
+    rng = np.random.default_rng(17)
+    vocab = [f"tok{i}" for i in range(40)]
+    contents = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 60)))
+        for _ in range(30)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"file_id": range(30), "content": contents})
+    )
+    shingled = shingle_files(docs)
+    cands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": [i for i in range(29) for _ in range(2)],
+                "id_b": [j for i in range(29) for j in (i + 1, (i + 7) % 30)],
+            }
+        ).query("id_a < id_b")
+    )
+    cfg = replace(CFG, overlap_threshold=0.0)
+    pd_rows = (
+        verify_pairs(cands, shingled, cfg, keep_all=True)
+        .select("id_a", "id_b", "overlap")
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    jvm_rows = (
+        verify_pairs(cands, shingled, cfg, keep_all=True, overlap_impl="jvm")
+        .select("id_a", "id_b", "overlap")
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(pd_rows) == len(jvm_rows) > 0
+    assert np.allclose(pd_rows.overlap, jvm_rows.overlap, atol=1e-12)

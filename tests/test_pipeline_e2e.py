@@ -338,3 +338,41 @@ def test_lcs_gate_probe_matches_exact_above_threshold():
 
             gated = _lcs_len_from(ha, hb, L0, m) / m
             assert gated == exact, (a, b, gated, exact)
+
+
+def test_file_id_collision_audit_raises(spark):
+    """Forced 1-bit id space => certain collision => audit must raise
+    (VERDICT r2 next#8). id_expr is the test hook; production uses the
+    full 64-bit xxhash."""
+    df, _ = corpus_df(spark, n_files=20, seed=3)
+    with pytest.raises(RuntimeError, match="collision"):
+        with_file_id(
+            df,
+            check_collisions=True,
+            id_expr=F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2)),
+        ).count()
+
+
+def test_run_pipeline_runs_collision_audit_by_default(spark, monkeypatch):
+    """run_pipeline must wire cfg.check_id_collisions (default ON) into the
+    audit: with the id space squeezed to 1 bit, the pipeline raises before
+    any downstream stage; with the flag off it proceeds to build a plan."""
+    import lsh_for_source_code_spark.plans.pipeline as pl
+
+    orig = pl.with_file_id
+
+    def squeezed(code_files, check_collisions=False, id_expr=None):
+        return orig(
+            code_files,
+            check_collisions=check_collisions,
+            id_expr=F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2)),
+        )
+
+    monkeypatch.setattr(pl, "with_file_id", squeezed)
+    df, _ = corpus_df(spark, n_files=20, seed=3)
+    with pytest.raises(RuntimeError, match="collision"):
+        pl.run_pipeline(spark, df, CFG)
+    out = pl.run_pipeline(
+        spark, df, PipelineConfig(check_id_collisions=False)
+    )
+    assert "clusters" in out

@@ -216,8 +216,13 @@ def full_corpus_scored(spark):
     signed = sign_files(shingled, cfg)
     bands = band_files(signed, cfg)
     cands = candidate_pairs(bands, cfg)
+    # keep_all=False: the sound JVM-side overlap upper bound drops pairs
+    # that cannot reach overlap 0.5 BEFORE the Python UDF -- every test
+    # below thresholds at >= 0.5, so the kept set is semantically
+    # identical and the Arrow transfer shrinks ~10x (the old keep_all=True
+    # scored every candidate pair; 900s fixture -> minutes).
     scored = verify_pairs(
-        cands, shingled.drop("path", "content_sha"), cfg, keep_all=True
+        cands, shingled.drop("path", "content_sha"), cfg
     ).select("id_a", "id_b", "overlap").collect()
     shingled.unpersist()
     return {
