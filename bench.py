@@ -337,6 +337,9 @@ def _phase_section_lines() -> list[str]:
         "| stage | local[2] median (s) | local[8] median (s) | eff 2->8 |",
         "|---|---|---|---|",
     ]
+    ctx = d.get("context_note")
+    if ctx:
+        lines[3:3] = [ln for ln in ctx.splitlines()] + [""]
     for s in med["2"] if "2" in med else med[2]:
         m2 = (med["2"] if "2" in med else med[2])[s]
         m8 = (med["8"] if "8" in med else med[8])[s]
