@@ -139,6 +139,23 @@ class PipelineConfig:
     # / 29% of cluster-level recall -- hence default 1 (loss-free). Raise
     # only when banding is uncapped or precision matters more than recall.
 
+    verify_pregate_margin: float | None = None
+    # OPT-IN production knob for the dominant verify stage (BENCH_NOTES
+    # #10): drop candidate pairs whose MinHash-estimated jaccard is below
+    # jaccard_threshold - margin before the shingle-array join. Kept pairs
+    # are still verified with EXACT jaccard; the margin bounds the chance
+    # of gating away a true pair (estimator sigma <= 0.5/sqrt(num_perm),
+    # so 0.14 ~= 3 sigma at 128 perms -> ~0.1% per-pair miss risk, further
+    # recovered by cluster transitivity). Ignored when the overlap channel
+    # is active (overlap pairs can have low jaccard) or keep_all is set.
+    # None (default) = off: oracle queries and parity runs stay exact.
+    verify_pregate_perms: int = 32
+    # The pregate probes only the first `verify_pregate_perms` signature
+    # rows (margin rescaled by sqrt(num_perm/n_probe) to keep the same
+    # per-pair miss probability): the gate's join bytes and zip_with work
+    # shrink 4x at 32/128 while the wider margin only admits more pairs
+    # into exact verification (never loses any).
+
     # --- execution ---
     check_id_collisions: bool = True
     # Audit that the 64-bit xxhash file_id is injective over this corpus's

@@ -310,6 +310,53 @@ def join_pair_features(
     )
 
 
+def pregate_candidates(
+    candidates: DataFrame,
+    signed: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "file_id",
+) -> DataFrame:
+    """Signature-agreement pregate (cfg.verify_pregate_margin): drop
+    candidate pairs whose MinHash-estimated jaccard is below
+    jaccard_threshold - margin BEFORE the shingle arrays ever move.
+
+    Rationale (BENCH_NOTES #10): the verify join is the pipeline's
+    dominant stage -- per-pair `array_intersect` builds a hash set per
+    row over avg-hundreds-token arrays. The signature columns are a
+    fixed num_perm longs per side and the agreement estimate is pure
+    zip_with/aggregate (whole-stage codegen), so gating here trades a
+    cheap fixed-width join for a large cut of the expensive array join.
+
+    Exactness: the kept pairs still get EXACT jaccard downstream; the
+    margin only bounds which pairs are considered at all. The estimator's
+    std dev for a pair at the threshold is <= 0.5/sqrt(num_perm), so
+    margin = 3 * 0.5/sqrt(128) ~= 0.133 keeps a true-theta pair with
+    p ~= 0.999 per pair. This is a production knob, default OFF -- the
+    oracle queries and the reference-parity runs never enable it, and it
+    must stay off when the overlap channel is on (overlap-qualifying
+    pairs can have arbitrarily low jaccard)."""
+    from lsh_for_source_code_spark.functions.minhash import signature_agreement
+
+    n_probe = min(int(cfg.verify_pregate_perms), cfg.num_perm)
+    sig = signed.select(
+        F.col(id_col).alias("_sid"),
+        F.slice("minhash", 1, n_probe).alias("_mh"),
+    )
+    a = sig.select(F.col("_sid").alias("id_a"), F.col("_mh").alias("_mh_a"))
+    b = sig.select(F.col("_sid").alias("id_b"), F.col("_mh").alias("_mh_b"))
+    est = signature_agreement(F.col("_mh_a"), F.col("_mh_b"))
+    # margin is rescaled to the probe width: sigma <= 0.5/sqrt(n_probe), so
+    # the configured margin (calibrated for num_perm) grows by
+    # sqrt(num_perm / n_probe) to keep the same miss probability.
+    margin = cfg.verify_pregate_margin * (cfg.num_perm / n_probe) ** 0.5
+    return (
+        candidates.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .filter(est >= cfg.jaccard_threshold - margin)
+        .drop("_mh_a", "_mh_b")
+    )
+
+
 def verify_pairs(
     candidates: DataFrame,
     shingled: DataFrame,
@@ -318,6 +365,7 @@ def verify_pairs(
     keep_all: bool = False,
     compute_overlap: bool = True,
     overlap_impl: str = "pandas",
+    signed: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard, overlap [, n_shared_bands]) for pairs passing
     jaccard >= jaccard_threshold OR overlap >= overlap_threshold.
@@ -329,7 +377,19 @@ def verify_pairs(
     (every shared distinct shingle contributes at most min of the two max
     per-token counts, and never more than either side's total). Everything
     else is decided entirely inside whole-stage codegen.
+
+    `signed` + cfg.verify_pregate_margin enable the signature-agreement
+    pregate (see pregate_candidates); it is skipped whenever the overlap
+    channel is active or keep_all is requested (both need pairs whose
+    jaccard estimate may be arbitrarily low).
     """
+    if (
+        cfg.verify_pregate_margin is not None
+        and signed is not None
+        and not keep_all
+        and cfg.overlap_threshold is None
+    ):
+        candidates = pregate_candidates(candidates, signed, cfg, id_col)
     compute_overlap = compute_overlap and (
         keep_all or cfg.overlap_threshold is not None
     )

@@ -187,9 +187,10 @@ def run_pipeline(
         "candidate_pairs", candidate_pairs(bands, cfg, signed=signed)
     )
 
-    # S6: exact verification.
+    # S6: exact verification (optionally signature-pregated, see
+    # cfg.verify_pregate_margin -- kept pairs are still exact-jaccard).
     verified = store.materialize(
-        "verified_pairs", verify_pairs(cands, shingled, cfg)
+        "verified_pairs", verify_pairs(cands, shingled, cfg, signed=signed)
     )
     if with_containment:
         from lsh_for_source_code_spark.operators.verify import add_lcs_containment

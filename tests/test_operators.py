@@ -518,3 +518,39 @@ def test_verify_overlap_jvm_matches_pandas(spark):
     )
     assert len(pd_rows) == len(jvm_rows) > 0
     assert np.allclose(pd_rows.overlap, jvm_rows.overlap, atol=1e-12)
+
+
+def test_verify_pregate_keeps_true_pairs_and_cuts_candidates(spark):
+    """cfg.verify_pregate_margin (BENCH_NOTES #10): with a 3-sigma margin
+    the gated verify output must equal the ungated output on a corpus of
+    near-dup pairs (every kept pair is still exact-verified), while the
+    gate itself must actually drop candidate pairs."""
+    from lsh_for_source_code_spark.corpus import corpus_df
+    from lsh_for_source_code_spark.operators.verify import pregate_candidates
+    from lsh_for_source_code_spark.plans.pipeline import with_file_id
+
+    df, _ = corpus_df(spark, n_files=200, seed=41)
+    ids = with_file_id(df)
+    cfg = PipelineConfig()
+    gated_cfg = replace(cfg, verify_pregate_margin=0.14)
+    shingled = shingle_files(ids).select(
+        "file_id", "content_sha", "n_tokens", "shingles", "counts"
+    ).persist()
+    signed = sign_files(shingled, cfg).persist()
+    cands = candidate_pairs(band_files(signed, cfg), cfg, signed=signed).persist()
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in verify_pairs(cands, shingled, cfg).collect()
+    }
+    gated = {
+        (r.id_a, r.id_b)
+        for r in verify_pairs(
+            cands, shingled, gated_cfg, signed=signed
+        ).collect()
+    }
+    assert gated == exact  # 3-sigma margin: no true pair lost here
+    n_all = cands.count()
+    n_gated = pregate_candidates(cands, signed, gated_cfg).count()
+    assert 0 < n_gated < n_all  # the gate genuinely cuts the join input
+    shingled.unpersist(); signed.unpersist(); cands.unpersist()
