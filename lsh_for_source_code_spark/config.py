@@ -182,6 +182,13 @@ class PipelineConfig:
             raise ValueError(
                 f"bands*rows ({self.bands}*{self.rows_per_band}) != num_perm ({self.num_perm})"
             )
+        if self.verify_pregate_perms < 1:
+            # <=0 would divide by zero in the pregate margin rescale or slice
+            # an empty signature whose NULL agreement silently drops every
+            # candidate pair (ADVICE r3)
+            raise ValueError(
+                f"verify_pregate_perms must be >= 1, got {self.verify_pregate_perms}"
+            )
 
     @property
     def config_id(self) -> str:

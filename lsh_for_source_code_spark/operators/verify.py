@@ -82,12 +82,15 @@ def multiset_overlap_jvm(df, out_col: str = "overlap"):
     with_map = df.withColumn("_mb", mb)
     # NB: F.least SKIPS nulls (returns the least non-null argument), so an
     # absent key must be coalesced to 0 BEFORE the least -- least(c, null)
-    # would silently contribute the full count c.
+    # would silently contribute the full count c. try_element_at (not
+    # element_at): under Spark 4's default ANSI mode a user-supplied session
+    # would raise MAP_KEY_DOES_NOT_EXIST on every absent key; the try_
+    # variant returns NULL in both modes (ADVICE r3).
     contrib = F.zip_with(
         "sh_a",
         "cn_a",
         lambda s, c: F.least(
-            c, F.coalesce(F.element_at(F.col("_mb"), s), F.lit(0))
+            c, F.coalesce(F.try_element_at(F.col("_mb"), s), F.lit(0))
         ).cast("long"),
     )
     inter = F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
@@ -97,6 +100,12 @@ def multiset_overlap_jvm(df, out_col: str = "overlap"):
         F.when(denom > 0, inter.cast("double") / denom).otherwise(F.lit(0.0)),
     ).drop("_mb")
 
+
+#: max concatenated window keys per LCS-gate lexsort slice (ADVICE r3:
+#: unbounded batch concatenation could reach multi-GB peaks). 2^23 keys ~=
+#: 64 MB of int64 per array; the gate holds ~3 such arrays plus the sort's
+#: scratch, so the slice peak stays well under 1 GB.
+_GATE_KEY_BUDGET = 1 << 23
 
 _LCS_P1, _LCS_B1 = (1 << 31) - 1, 131  # Mersenne prime 2^31-1
 _LCS_P2, _LCS_B2 = (1 << 31) - 19, 137
@@ -232,9 +241,15 @@ def make_lcs_containment_udf(min_containment: float | None = None):
                     out[i] = _lcs_len_from(ha, hb, 0, m) / m
             return pd.Series(out)
 
-        # batched gate: one concatenated (pair, key, side) lexsort
+        # batched gate: concatenated (pair, key, side) lexsorts, processed in
+        # key-budget slices. An unsliced batch replicates every pair's
+        # length-L0 key arrays (both sides, a hub doc once PER PAIR it
+        # appears in), so peak memory was O(batch total keys) -- multi-GB
+        # with large docs -- vs the per-pair probe's O(doc) (ADVICE r3).
+        # Each slice holds <= _GATE_KEY_BUDGET keys (~3 int64/int8 arrays,
+        # <~200 MB peak), which preserves the lexsort's vectorization win
+        # while restoring a bounded footprint.
         work: list[tuple[int, "_RollingHasher", "_RollingHasher", int, int]] = []
-        keys, tags, sides = [], [], []
         for i, (a, b) in enumerate(zip(content_a, content_b)):
             if not a or not b:
                 continue
@@ -244,23 +259,39 @@ def make_lcs_containment_udf(min_containment: float | None = None):
                 continue
             L0 = min(m, max(1, int(np.ceil(min_containment * m))))
             work.append((i, ha, hb, m, L0))
-            for h, side in ((ha, 0), (hb, 1)):
-                k = h.window_keys(L0)
-                keys.append(k)
-                tags.append(np.full(len(k), i, dtype=np.int64))
-                sides.append(np.full(len(k), side, dtype=np.int8))
         if not work:
             return pd.Series(out)
-        K = np.concatenate(keys)
-        T = np.concatenate(tags)
-        S = np.concatenate(sides)
-        order = np.lexsort((S, K, T))
-        K, T, S = K[order], T[order], S[order]
-        hit = (T[1:] == T[:-1]) & (K[1:] == K[:-1]) & (S[1:] != S[:-1])
-        passed = set(np.unique(T[1:][hit]).tolist())
-        for i, ha, hb, m, L0 in work:
-            if i in passed:
-                out[i] = _lcs_len_from(ha, hb, L0, m) / m
+
+        def run_slice(entries):
+            keys, tags, sides = [], [], []
+            for i, ha, hb, _m, L0 in entries:
+                for h, side in ((ha, 0), (hb, 1)):
+                    k = h.window_keys(L0)
+                    keys.append(k)
+                    tags.append(np.full(len(k), i, dtype=np.int64))
+                    sides.append(np.full(len(k), side, dtype=np.int8))
+            K = np.concatenate(keys)
+            T = np.concatenate(tags)
+            S = np.concatenate(sides)
+            order = np.lexsort((S, K, T))
+            K, T, S = K[order], T[order], S[order]
+            hit = (T[1:] == T[:-1]) & (K[1:] == K[:-1]) & (S[1:] != S[:-1])
+            passed = set(np.unique(T[1:][hit]).tolist())
+            for i, ha, hb, m, L0 in entries:
+                if i in passed:
+                    out[i] = _lcs_len_from(ha, hb, L0, m) / m
+
+        batch: list = []
+        batch_keys = 0
+        for entry in work:
+            _i, ha, hb, _m, L0 = entry
+            n_keys = (ha.n - L0 + 1) + (hb.n - L0 + 1)
+            if batch and batch_keys + n_keys > _GATE_KEY_BUDGET:
+                run_slice(batch)
+                batch, batch_keys = [], 0
+            batch.append(entry)
+            batch_keys += n_keys
+        run_slice(batch)
         return pd.Series(out)
 
     return lcs_containment

@@ -340,6 +340,49 @@ def test_lcs_gate_probe_matches_exact_above_threshold():
             assert gated == exact, (a, b, gated, exact)
 
 
+def test_lcs_gate_key_budget_slicing_preserves_results(monkeypatch):
+    """The gate's key-budget slicing (ADVICE r3: unbounded batch
+    concatenation could peak at multi-GB) must be value-invariant: forcing
+    a tiny budget so every batch splits into many slices yields exactly the
+    unsliced output. Calls the raw UDF function in-process (pandas in/out)
+    so the monkeypatched budget is actually seen."""
+    import random
+
+    import pandas as pd
+
+    import lsh_for_source_code_spark.operators.verify as V
+
+    rng = random.Random(23)
+    docs = [
+        "".join(rng.choice("abcdefg") for _ in range(rng.randint(20, 300)))
+        for _ in range(12)
+    ]
+    # plant containment pairs + random pairs, with hub docs repeated
+    a_col, b_col = [], []
+    for i in range(30):
+        a = docs[i % len(docs)]
+        if i % 3 == 0:
+            b = docs[(i + 1) % len(docs)][:10] + a + docs[(i + 2) % len(docs)][:10]
+        else:
+            b = docs[(i + 5) % len(docs)]
+        a_col.append(a)
+        b_col.append(b)
+    sa, sb = pd.Series(a_col), pd.Series(b_col)
+    fn = V.make_lcs_containment_udf(0.8).func
+    baseline = fn(sa, sb)
+    monkeypatch.setattr(V, "_GATE_KEY_BUDGET", 64)  # forces many slices
+    sliced = V.make_lcs_containment_udf(0.8).func(sa, sb)
+    assert list(baseline) == list(sliced)
+    assert (baseline > 0).any() and (baseline == 0).any()
+
+
+def test_config_rejects_nonpositive_pregate_perms():
+    """ADVICE r3: verify_pregate_perms <= 0 must fail fast at config time,
+    not silently gate away every candidate at runtime."""
+    with pytest.raises(ValueError, match="verify_pregate_perms"):
+        PipelineConfig(verify_pregate_perms=0)
+
+
 def test_file_id_collision_audit_raises(spark):
     """Forced 1-bit id space => certain collision => audit must raise
     (VERDICT r2 next#8). id_expr is the test hook; production uses the

@@ -183,8 +183,10 @@ class _UF:
 def full_corpus_scored(spark):
     """Run the whole LSH pipeline ONCE over all 4,632 committed files and
     return (overlap-scored candidate pairs, sha-equal edge list), keyed by
-    'dir/file'. Thresholds are applied per-test (the expensive stages are
-    theta-independent)."""
+    'dir/file'. Scored pairs only include overlap >= 0.5 (keep_all=False
+    hard-wires cfg.overlap_threshold=0.5 into the fixture), so per-test
+    thresholds must stay >= 0.5 -- a theta below that would silently
+    undercount recall (ADVICE r3)."""
     from lsh_for_source_code_spark.operators.banding import band_files
     from lsh_for_source_code_spark.operators.candidates import candidate_pairs
     from lsh_for_source_code_spark.functions.minhash import sign_files
