@@ -107,6 +107,10 @@ def run_pipeline_bench(spark, eval_recall: bool = True) -> dict:
     clusters = out["clusters"].localCheckpoint(eager=True)
     n_clusters = clusters.select("cluster_id").distinct().count()
     wall = time.monotonic() - t0
+    # candidate-volume discipline metric (VERDICT r3 next#2): how many
+    # pairs entered exact verification per verified pair. Counted OUTSIDE
+    # the timed window on the already-persisted stage output.
+    n_cands = out["candidate_pairs"].count()
 
     # Ground-truth cluster recall at FULL bench scale (VERDICT r2 wrong#1):
     # exact within-family >=theta pairs vs same-cluster membership, under the
@@ -120,6 +124,8 @@ def run_pipeline_bench(spark, eval_recall: bool = True) -> dict:
             "wall_sec": round(wall, 2),
             "files_per_sec": round(BENCH_FILES / wall, 1),
             "verified_pairs": n_pairs,
+            "candidate_pairs": n_cands,
+            "candidate_to_verified": round(n_cands / max(n_pairs, 1), 1),
             "n_clusters": n_clusters,
         }
     from lsh_for_source_code_spark.plans.truth_eval import (
@@ -144,6 +150,8 @@ def run_pipeline_bench(spark, eval_recall: bool = True) -> dict:
         "wall_sec": round(wall, 2),
         "files_per_sec": round(BENCH_FILES / wall, 1),
         "verified_pairs": n_pairs,
+        "candidate_pairs": n_cands,
+        "candidate_to_verified": round(n_cands / max(n_pairs, 1), 1),
         "n_clusters": n_clusters,
         **rec,
     }
@@ -169,19 +177,20 @@ def main():
     from lsh_for_source_code_spark.caching import release_all
 
     qs = entry_mod.queries()
-    timings = {}
-    # Warm every headline plan at sf0.01 first: whole-stage codegen classes
-    # compile per PLAN SHAPE, so an unwarmed first query pays 10-15s of
-    # Janino+JIT that no steady-state run sees (measured r3: near_dup_pairs
-    # 22.6s cold vs 5-7s warm at sf0.1 -- the r1->r2 'regression' on this
-    # query was cold-start noise, not a plan change). Same philosophy as
-    # _warm_jvm for the pipeline.
-    warm_sf = SF_DIR.replace("sf0.1", "sf0.01")
-    if os.path.isdir(warm_sf) and warm_sf != SF_DIR:
-        for name in HEADLINE:
-            qs[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
-            release_all()
+    timings, timings_cold = {}, {}
+    # Each headline query runs TWICE at the measured scale and BOTH walls
+    # are recorded (VERDICT r3 wrong#1: the r3 sf0.01 pre-warm did not
+    # compile the same AQE plan shapes the sf0.1 run picks, so the recorded
+    # number was neither cold nor warm). `queries` carries the warm
+    # (steady-state) walls -- the honest 100 TB metric, where codegen/JIT
+    # constants amortize to zero -- and `queries_cold` keeps the first-run
+    # walls so the cold-start cost stays visible instead of silently mixed
+    # in.
     for name in HEADLINE:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings_cold[name] = round(time.monotonic() - t0, 3)
+        release_all()
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
@@ -199,9 +208,18 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": timings_cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pipeline": pipe,
                 "cpus": CPUS,
+                "semantics": (
+                    "pipeline is the r3+ recall-fixed configuration "
+                    "(mega refinement + chunked topology, truth_recall "
+                    "evaluated at full scale); totals are NOT comparable "
+                    "to BENCH_r01/r02, which silently lost ~92% of true "
+                    "pairs (see VERDICT r3). queries = warm walls; "
+                    "queries_cold = first-run walls at the same scale."
+                ),
             }
         )
     )

@@ -563,6 +563,142 @@ def q_embedding_ann_lsh(spark, sf_dir):
     )
 
 
+#: deterministic hyperplane bank for the ORACLE-CHECKED ANN recall query:
+#: same (tables, bits, dim, seed) family as q_embedding_ann_lsh. The plane
+#: coefficients are inlined as FULL-PRECISION literals into both the Spark
+#: plan and the DuckDB SQL, so both engines hash embeddings into identical
+#: buckets; dot products are rounded to 6 decimals before the sign test so
+#: a last-ulp summation difference can never flip a bucket bit.
+_ANN_R_TABLES, _ANN_R_BITS, _ANN_R_DIM, _ANN_R_SEED = 8, 4, 64, 7
+
+
+def _ann_recall_planes() -> np.ndarray:
+    rng = np.random.default_rng(_ANN_R_SEED)
+    return rng.standard_normal((_ANN_R_TABLES, _ANN_R_BITS, _ANN_R_DIM))
+
+
+def q_embedding_ann_recall(spark, sf_dir):
+    """ORACLE-CHECKED measured ANN recall (VERDICT r3 next#7): per query
+    vector, how many of the exact cosine top-5 appear in the multi-table
+    hyperplane-LSH candidate set (candidate recall@5 -- equals result
+    recall after the exact re-rank, functions/ann.py docstring). Output:
+    (query_id, n_candidates, hits_at_5). DuckDB reproduces BOTH sides --
+    the exact top-5 and the LSH bucketing -- from the same inlined plane
+    literals, so the driver sees measured recall, not just row counts.
+    Mirrors ann_topk's plan minus the bucket-occupancy cap (a skew guard
+    that never triggers on this testdata; asserted in tests)."""
+    planes = _ann_recall_planes()
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def sketch_expr(t: int):
+        acc = F.lit(0).cast("long")
+        for b in range(_ANN_R_BITS):
+            arr = F.array(*[F.lit(float(x)) for x in planes[t, b]])
+            dot = F.aggregate(
+                F.zip_with("v", arr, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + (F.round(dot, 6) > 0).cast("long") * F.lit(1 << b)
+        return acc
+
+    sk = track(
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[sketch_expr(t) for t in range(_ANN_R_TABLES)])
+            ).alias("table_id", "sketch"),
+        ).persist()
+    )
+    q_sk = sk.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "table_id", "sketch"
+    )
+    cand = (
+        sk.join(F.broadcast(q_sk), ["table_id", "sketch"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    exact5 = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", _cosine(F.col("qv"), F.col("v")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    n_cand = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    hit = cand.withColumnRenamed("vec_id", "neighbor_id").withColumn(
+        "_hit", F.lit(1)
+    )
+    return (
+        exact5.join(F.broadcast(hit), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("hits_at_5"))
+        .join(F.broadcast(n_cand), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.col("hits_at_5").cast("long").alias("hits_at_5"),
+        )
+    )
+
+
+def _ann_recall_oracle_sql() -> str:
+    planes = _ann_recall_planes()
+
+    def dot(t: int, b: int) -> str:
+        lits = ", ".join(repr(float(x)) for x in planes[t, b])
+        return f"list_dot_product(v, [{lits}])"
+
+    def sketch(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN round({dot(t, b)}, 6) > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(_ANN_R_BITS)
+        )
+
+    sk_union = "\n          UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id, {sketch(t)} AS sketch FROM emb"
+        for t in range(_ANN_R_TABLES)
+    )
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sk AS (
+          {sk_union}
+        ), cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+          FROM sk q JOIN sk e ON e.table_id = q.table_id AND e.sketch = q.sketch
+          WHERE q.vec_id < 10 AND e.vec_id != q.vec_id
+        ), exact5 AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.v, e.v) DESC,
+                              e.vec_id ASC) AS rn
+            FROM emb q JOIN emb e ON e.vec_id != q.vec_id
+            WHERE q.vec_id < 10
+          ) WHERE rn <= 5
+        ), nc AS (
+          SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id
+        )
+        SELECT x.query_id,
+               coalesce(any_value(nc.n_candidates), 0) AS n_candidates,
+               count(c.neighbor_id) AS hits_at_5
+        FROM exact5 x
+        LEFT JOIN cand c ON c.query_id = x.query_id AND c.neighbor_id = x.neighbor_id
+        LEFT JOIN nc ON nc.query_id = x.query_id
+        GROUP BY x.query_id
+    """
+
+
 QUERIES = {
     "content_sha": q_content_sha,
     "exact_dup_groups": q_exact_dup_groups,
@@ -592,6 +728,7 @@ QUERIES = {
     "band_skew_report": q_band_skew_report,
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_ann_recall": q_embedding_ann_recall,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -891,4 +1028,5 @@ ORACLE = {
           WHERE q.vec_id < 10
         ) WHERE rn <= 5
     """,
+    "embedding_ann_recall": _ann_recall_oracle_sql(),
 }

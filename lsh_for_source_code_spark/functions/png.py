@@ -1,0 +1,155 @@
+"""Pure-stdlib PNG decoder (zlib inflate + numpy filter reconstruction).
+
+Makes the image channel of the multimodal pipeline REAL without adding any
+dependency (VERDICT r3 next#6): no PIL/libpng in the container, but PNG's
+format is public (RFC 2083 / W3C PNG spec) and its per-scanline filters
+reconstruct exactly with numpy. Supports the non-interlaced 8-bit formats
+that cover the overwhelming majority of training-corpus PNGs: grayscale
+(color type 0), RGB (2), palette (3), gray+alpha (4), RGBA (6).
+Interlaced (Adam7) and 16-bit images raise NotImplementedError -- callers
+fall back to the deterministic digest feature.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: samples per pixel by PNG color type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, body
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IEND":
+            return
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct scanlines. raw: (height, 1 + stride) uint8 rows (filter
+    byte + filtered bytes). Filters 0/2 (none/up) are whole-row vectorized;
+    1 (sub) is a cumsum over bpp-strided columns; 3/4 (average/paeth) carry
+    a left-pixel dependency, so they run a per-pixel-position loop
+    vectorized over the bpp channel group."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        row = raw[y, 1:].copy()
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # up
+            rec = row + prev
+        elif ftype == 1:  # sub: cumsum mod 256 within each bpp lane
+            rec = (
+                np.cumsum(row.reshape(-1, bpp), axis=0, dtype=np.uint64)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+        elif ftype == 3:  # average
+            rec = np.empty(stride, dtype=np.uint8)
+            rec[:bpp] = row[:bpp] + (prev[:bpp] >> 1)
+            for x in range(bpp, stride, bpp):
+                left = rec[x - bpp : x].astype(np.uint16)
+                up = prev[x : x + bpp].astype(np.uint16)
+                rec[x : x + bpp] = row[x : x + bpp] + ((left + up) >> 1).astype(
+                    np.uint8
+                )
+        elif ftype == 4:  # paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(0, stride, bpp):
+                for k in range(min(bpp, stride - x)):
+                    a = int(rec[x - bpp + k]) if x >= bpp else 0
+                    b = int(prev[x + k])
+                    c = int(prev[x - bpp + k]) if x >= bpp else 0
+                    rec[x + k] = (int(row[x + k]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """bytes -> (height, width, channels) uint8 pixel array.
+
+    Raises ValueError for non-PNG/corrupt input and NotImplementedError for
+    valid-but-unsupported variants (interlaced, 16-bit)."""
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG (bad signature)")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    width, height, depth, ctype_, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} not supported (8 only)")
+    if ctype_ not in _CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype_}")
+    if width == 0 or height == 0:
+        raise ValueError("zero-sized PNG")
+    nch = _CHANNELS[ctype_]
+    stride = width * nch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    px = _unfilter(raw.reshape(height, stride + 1), height, stride, nch)
+    px = px.reshape(height, width, nch)
+    if ctype_ == 3:  # palette lookup
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
+def pixel_feature(px: np.ndarray, grid: int = 4) -> np.ndarray:
+    """(H, W, C) pixels -> grid*grid float32 feature in [0, 1]: per-cell
+    mean luminance on a grid x grid block partition. Deterministic, scale-
+    invariant, and cheap -- the decoded-pixel stand-in for a real vision
+    embedding (the Spark plumbing is identical either way)."""
+    h, w = px.shape[:2]
+    lum = px[..., :3].astype(np.float32).mean(axis=2) if px.shape[2] >= 3 else px[
+        ..., 0
+    ].astype(np.float32)
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    out = np.empty(grid * grid, dtype=np.float32)
+    for i in range(grid):
+        for j in range(grid):
+            cell = lum[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i * grid + j] = float(cell.mean()) / 255.0
+    return out

@@ -331,10 +331,24 @@ def simhash_candidate_pairs(
     key refinement cannot help here -- extending the key with other
     fingerprint bits breaks the pigeonhole guarantee (those bits may carry
     the <= t differences). The production lever is the Manku et al. (WWW'07)
-    table design: wider fingerprints and/or more tables keyed on longer
-    bit-prefixes of block combinations, sized so key entropy >> log2(n).
-    Block width/count already derive from cfg.simhash_bits / hamming_max.
+    table design, implemented in simhash_candidate_pairs_tables: set
+    cfg.simhash_table_blocks (and optionally widen cfg.simhash_bits past 64
+    via functions/minhash.simhash_fingerprints) and this function delegates.
     """
+    if cfg.simhash_table_blocks is not None:
+        if "fp" in signed.columns:
+            fps = signed
+        else:
+            if cfg.simhash_bits > 64:
+                raise ValueError(
+                    "simhash_bits > 64 needs multi-word fingerprints: pass "
+                    "functions/minhash.simhash_fingerprints output (fp column)"
+                )
+            cols = [F.col(id_col).alias("file_id"), F.array("simhash").alias("fp")]
+            if "degenerate" in signed.columns:
+                cols.append(F.col("degenerate"))
+            fps = signed.select(*cols)
+        return simhash_candidate_pairs_tables(fps, cfg, id_col="file_id")
     t = cfg.simhash_hamming_max
     n_blocks = t + 1
     width = cfg.simhash_bits // n_blocks
@@ -450,6 +464,142 @@ def simhash_candidate_pairs(
         .withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         )
+        .filter(F.col("hamming") <= t)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_candidate_pairs_tables(
+    fps: DataFrame, cfg: PipelineConfig, id_col: str = "file_id"
+) -> DataFrame:
+    """Generalized Manku (WWW'07) SimHash tables (VERDICT r3 next#5): the
+    fingerprint (array<long> words, cfg.simhash_bits wide -- see
+    functions/minhash.simhash_fingerprints) splits into m =
+    cfg.simhash_table_blocks equal blocks; one table per
+    (m - hamming_max)-block combination, keyed on those blocks' concatenated
+    values. Pigeonhole: <= hamming_max differing bits touch <= hamming_max
+    blocks, so every true pair agrees exactly on at least one combination's
+    key. Key entropy = (m - t) * bits / m -- sized via config so that at
+    the target corpus size buckets of UNRELATED fingerprints stay below
+    cfg.simhash_max_block, instead of the 4x16-bit design whose 16-bit keys
+    degenerate into the mega-chunk lottery past ~2^16 * max_block docs
+    (demonstrated at test scale in test_operators.py).
+
+    Topology per key is identical to the legacy path: salted two-level
+    occupancy stats, exact all-pairs under simhash_max_block, random
+    ~C-sized chunks + chunk-min -> anchor edges above it. Output contract
+    unchanged: (id_a, id_b, hamming) with hamming <= cfg.simhash_hamming_max.
+    """
+    from itertools import combinations
+
+    t = cfg.simhash_hamming_max
+    m = int(cfg.simhash_table_blocks or (t + 1))
+    bits = cfg.simhash_bits
+    width = bits // m
+    combos = list(combinations(range(m), m - t))
+
+    df = fps
+    if "degenerate" in df.columns:
+        df = df.filter(~F.col("degenerate"))
+
+    def block(i: int):
+        word = (i * width) // 64
+        shift = (i * width) % 64
+        w = F.element_at("fp", word + 1)
+        if width == 64:
+            return w
+        return F.shiftrightunsigned(w, shift).bitwiseAND(F.lit((1 << width) - 1))
+
+    keys = [
+        F.xxhash64(F.lit(ci), *[block(b) for b in combo])
+        for ci, combo in enumerate(combos)
+    ]
+    KEY = ["table_id", "key"]
+    rows = df.select(
+        F.col(id_col).alias("file_id"),
+        "fp",
+        F.posexplode(F.array(*keys)).alias("table_id", "key"),
+    )
+    salted = rows.withColumn(
+        "_salt", F.pmod(F.xxhash64("file_id"), F.lit(cfg.salt_partitions))
+    )
+    sub = salted.groupBy(*KEY, "_salt").agg(
+        F.count("*").alias("_c"), F.min("file_id").alias("_m")
+    )
+    stats = sub.groupBy(*KEY).agg(
+        F.sum("_c").alias("sz"), F.min("_m").alias("anchor")
+    )
+    tagged = track(rows.join(stats.hint("shuffle_hash"), on=KEY).persist())
+
+    small = tagged.filter(
+        (F.col("sz") >= 2) & (F.col("sz") <= cfg.simhash_max_block)
+    ).select(*KEY, "file_id", "fp")
+    sl, sr = small.alias("l"), small.alias("r").hint("shuffle_hash")
+    pairs_small = sl.join(
+        sr,
+        on=[F.col(f"l.{k}") == F.col(f"r.{k}") for k in KEY]
+        + [F.col("l.file_id") < F.col("r.file_id")],
+    ).select(
+        F.col("l.file_id").alias("id_a"),
+        F.col("r.file_id").alias("id_b"),
+        F.col("l.fp").alias("fp_a"),
+        F.col("r.fp").alias("fp_b"),
+    )
+
+    mega = tagged.filter(F.col("sz") > cfg.simhash_max_block)
+    C = max(int(cfg.mega_chunk_target), 1)
+    n_chunks = F.greatest(
+        F.ceil(F.col("sz") / F.lit(C)).cast("long"), F.lit(1).cast("long")
+    )
+    mega_c = mega.withColumn(
+        "_chunk", F.pmod(F.xxhash64(*KEY, "file_id"), n_chunks)
+    ).select(*KEY, "_chunk", "file_id", "fp", "anchor")
+    anchors = (
+        mega.filter(F.col("file_id") == F.col("anchor"))
+        .select(*KEY, "anchor", F.col("fp").alias("anchor_fp"))
+        .dropDuplicates(KEY)
+    )
+    ml, mr = mega_c.alias("l"), mega_c.alias("r").hint("shuffle_hash")
+    chunk_pairs = ml.join(
+        mr,
+        on=[F.col(f"l.{k}") == F.col(f"r.{k}") for k in KEY]
+        + [
+            F.col("l._chunk") == F.col("r._chunk"),
+            F.col("l.file_id") < F.col("r.file_id"),
+        ],
+    ).select(
+        F.col("l.file_id").alias("id_a"),
+        F.col("r.file_id").alias("id_b"),
+        F.col("l.fp").alias("fp_a"),
+        F.col("r.fp").alias("fp_b"),
+    )
+    anchor_edges = (
+        mega_c.groupBy(*KEY, "_chunk")
+        .agg(
+            F.min("file_id").alias("_cmin"),
+            F.min_by("fp", "file_id").alias("_cmin_fp"),
+        )
+        .join(anchors, on=KEY)
+        .filter(F.col("_cmin") != F.col("anchor"))
+        .select(
+            F.col("anchor").alias("id_a"),
+            F.col("_cmin").alias("id_b"),
+            F.col("anchor_fp").alias("fp_a"),
+            F.col("_cmin_fp").alias("fp_b"),
+        )
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            "fp_a", "fp_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs_small.unionByName(chunk_pairs)
+        .unionByName(anchor_edges)
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= t)
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])

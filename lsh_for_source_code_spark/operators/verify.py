@@ -18,20 +18,45 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from lsh_for_source_code_spark.config import PipelineConfig
 
 
-def _concat_with_pair_idx(col: pd.Series):
-    lens = np.fromiter(
-        (0 if a is None else len(a) for a in col), dtype=np.int64, count=len(col)
+def _sorted_probe(a, b, ca=None, cb=None) -> tuple[int, int]:
+    """(distinct_intersection, multiset_min_intersection) of two SORTED
+    distinct int64 arrays via one binary-search probe of the smaller side
+    into the larger -- O(min log max) per pair, no hash builds, no sorts.
+
+    Chosen over the previous whole-batch lexsort by measurement: per-pair
+    searchsorted resolves 10k avg-232-token pairs in ~0.15s where the
+    concatenated (pair, shingle) lexsort took tens of seconds -- sorting
+    millions of RANDOM 64-bit keys is memory-bound, while each probe here
+    stays cache-resident (VERDICT r3 next#1).
+
+    The arrays arrive as int64 BIT-PATTERNS of uint64 hashes and were
+    sorted in UNSIGNED order by the shingle lexsort (tokenize.py), so the
+    probe must view them back as uint64 -- int64-order searchsorted would
+    silently miss every match across the sign boundary."""
+    a = np.asarray(a, dtype=np.int64).view(np.uint64)
+    b = np.asarray(b, dtype=np.int64).view(np.uint64)
+    if len(a) == 0 or len(b) == 0:
+        return 0, 0
+    if len(a) > len(b):
+        a, b, ca, cb = b, a, cb, ca
+    idx = np.searchsorted(b, a)
+    valid = idx < len(b)
+    hits = np.zeros(len(a), dtype=bool)
+    hits[valid] = b[idx[valid]] == a[valid]
+    inter_d = int(np.count_nonzero(hits))
+    if ca is None or cb is None or inter_d == 0:
+        return inter_d, inter_d
+    inter_m = int(
+        np.minimum(
+            np.asarray(ca)[hits], np.asarray(cb)[idx[hits]]
+        ).sum()
     )
-    idx = np.repeat(np.arange(len(col), dtype=np.int64), lens)
-    if lens.sum() == 0:
-        return np.empty(0, dtype=np.int64), idx
-    vals = np.concatenate([np.asarray(a) for a in col if a is not None and len(a)])
-    return vals, idx
+    return inter_d, inter_m
 
 
 @pandas_udf(DoubleType())
@@ -41,27 +66,80 @@ def multiset_overlap_udf(
 ) -> pd.Series:
     """overlap(A,B) = sum_shared min(freq_A, freq_B) / max(|A|, |B|).
 
-    Vectorized across the whole batch: tag each shingle with its pair index,
-    lexsort (pair, shingle); because each side's ids are distinct, a shared
-    shingle is exactly an adjacent equal run of length 2.
-    """
+    Per-pair sorted binary-search probe (see _sorted_probe)."""
     n = len(sh_a)
-    va, ia = _concat_with_pair_idx(sh_a)
-    vb, ib = _concat_with_pair_idx(sh_b)
-    ca, _ = _concat_with_pair_idx(cn_a)
-    cb, _ = _concat_with_pair_idx(cn_b)
-    ids = np.concatenate([va, vb])
-    cnts = np.concatenate([ca, cb]).astype(np.int64)
-    pidx = np.concatenate([ia, ib])
     inter = np.zeros(n, dtype=np.float64)
-    if len(ids):
-        order = np.lexsort((ids, pidx))
-        ids, cnts, pidx = ids[order], cnts[order], pidx[order]
-        match = (pidx[1:] == pidx[:-1]) & (ids[1:] == ids[:-1])
-        mins = np.minimum(cnts[1:][match], cnts[:-1][match])
-        inter = np.bincount(pidx[1:][match], weights=mins, minlength=n)
+    for i in range(n):
+        a, b = sh_a.iloc[i], sh_b.iloc[i]
+        if a is None or b is None:
+            continue
+        _, inter[i] = _sorted_probe(a, b, cn_a.iloc[i], cn_b.iloc[i])
     denom = np.maximum(nt_a.to_numpy(np.float64), nt_b.to_numpy(np.float64))
     return pd.Series(np.where(denom > 0, inter / np.maximum(denom, 1.0), 0.0))
+
+
+@pandas_udf(DoubleType())
+def jaccard_sorted_udf(sh_a: pd.Series, sh_b: pd.Series) -> pd.Series:
+    """Exact distinct jaccard over pre-sorted shingle arrays via the
+    binary-search merge probe (VERDICT r3 next#1). NOT the default:
+    measured 2x slower end-to-end than JVM array_intersect at the 200k
+    bench (Arrow transfer of avg-232-token arrays exceeds the hash-build
+    savings); kept as verify_pairs(jaccard_impl="pandas") for corpora with
+    much longer documents, where the probe's O(min log max) wins.
+    Exactness: intersection/union are exact ints, the final division is
+    the same IEEE double op the JVM path performs."""
+    n = len(sh_a)
+    out = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        a, b = sh_a.iloc[i], sh_b.iloc[i]
+        if a is None or b is None or (len(a) == 0 and len(b) == 0):
+            continue
+        inter_d, _ = _sorted_probe(a, b)
+        union = len(a) + len(b) - inter_d
+        if union > 0:
+            out[i] = inter_d / union
+    return pd.Series(out)
+
+
+#: explicit StructType (a DDL string would be parsed at import time, which
+#: requires an active SparkContext the test collector doesn't have yet)
+_PAIR_SCORES_T = StructType(
+    [
+        StructField("jaccard", DoubleType(), False),
+        StructField("overlap", DoubleType(), False),
+    ]
+)
+
+
+@pandas_udf(_PAIR_SCORES_T)
+def pair_scores_udf(
+    sh_a: pd.Series, cn_a: pd.Series, sh_b: pd.Series, cn_b: pd.Series,
+    nt_a: pd.Series, nt_b: pd.Series,
+) -> pd.DataFrame:
+    """Jaccard AND multiset overlap from ONE probe pass per pair: the
+    binary-search positions yield both the distinct intersection (jaccard
+    numerator) and the min-count sum (overlap numerator), so the combined
+    verify channel pays one Arrow transfer and one probe where r3 paid a
+    JVM hash-set build plus a separate overlap UDF."""
+    n = len(sh_a)
+    jac = np.zeros(n, dtype=np.float64)
+    inter_m = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        a, b = sh_a.iloc[i], sh_b.iloc[i]
+        if a is None or b is None:
+            continue
+        d, m = _sorted_probe(a, b, cn_a.iloc[i], cn_b.iloc[i])
+        union = len(a) + len(b) - d
+        if union > 0:
+            jac[i] = d / union
+        inter_m[i] = m
+    denom = np.maximum(nt_a.to_numpy(np.float64), nt_b.to_numpy(np.float64))
+    return pd.DataFrame(
+        {
+            "jaccard": jac,
+            "overlap": np.where(denom > 0, inter_m / np.maximum(denom, 1.0), 0.0),
+        }
+    )
 
 
 def multiset_overlap_jvm(df, out_col: str = "overlap"):
@@ -319,11 +397,7 @@ def join_pair_features(
     pair-side partitions."""
     cols = [F.col(id_col).alias("fid"), F.col("shingles")]
     if with_counts:
-        cols += [
-            F.col("counts"),
-            F.col("n_tokens"),
-            F.coalesce(F.array_max("counts"), F.lit(0)).alias("maxc"),
-        ]
+        cols += [F.col("counts"), F.col("n_tokens")]
     feat = shingled.select(*cols)
 
     def side(suffix: str, id_name: str):
@@ -332,7 +406,6 @@ def join_pair_features(
             sel += [
                 F.col("counts").alias(f"cn_{suffix}"),
                 F.col("n_tokens").alias(f"nt_{suffix}"),
-                F.col("maxc").alias(f"maxc_{suffix}"),
             ]
         return feat.select(*sel)
 
@@ -388,6 +461,50 @@ def pregate_candidates(
     )
 
 
+def prefix_gate_candidates(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "file_id",
+) -> DataFrame:
+    """Bottom-k prefix gate (cfg.verify_prefix_gate_k; VERDICT r3 next#1):
+    drop candidate pairs whose prefix-sketch jaccard estimate is below
+    jaccard_threshold - 0.2 BEFORE the full shingle arrays ever move.
+
+    Soundness: the arrays are sorted by uniform hash, so prefix_k is a
+    bottom-k sample and |prefix_k(A) n prefix_k(B)| / min(k, max(|A|,|B|))
+    >= the unbiased bottom-k-union estimate (any element that sketch counts
+    is <= the union's k-th smallest, hence inside BOTH prefixes, and the
+    denominator min(k, max sizes) <= min(k, |union|)). The 0.2 margin is
+    >= 3.2 sigma at k=64/theta=0.5 and >= 5.3 sigma at theta=0.9.
+    Measured at 200k (BENCH_NOTES r4): 73% of 17.46M candidates cut with
+    zero verified-pair loss across 9 runs; ~3.6x verify-join shuffle-byte
+    reduction; single-box wall break-even (join row machinery dominates
+    there) -- this is a cluster-network knob, hence opt-in."""
+    k = int(cfg.verify_prefix_gate_k)
+    feat = shingled.select(
+        F.col(id_col).alias("fid"),
+        F.slice("shingles", 1, k).alias("pf"),
+        F.size("shingles").alias("nsh"),
+    )
+    a = feat.select(
+        F.col("fid").alias("id_a"), F.col("pf").alias("pa"), F.col("nsh").alias("na")
+    )
+    b = feat.select(
+        F.col("fid").alias("id_b"), F.col("pf").alias("pb"), F.col("nsh").alias("nb")
+    )
+    x = F.size(F.array_intersect("pa", "pb")).cast("double")
+    d = F.greatest(
+        F.least(F.lit(float(k)), F.greatest("na", "nb").cast("double")), F.lit(1.0)
+    )
+    return (
+        candidates.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .filter(x / d >= F.lit(cfg.jaccard_threshold - 0.2) - F.lit(1e-12))
+        .drop("pa", "pb", "na", "nb")
+    )
+
+
 def verify_pairs(
     candidates: DataFrame,
     shingled: DataFrame,
@@ -397,23 +514,36 @@ def verify_pairs(
     compute_overlap: bool = True,
     overlap_impl: str = "pandas",
     signed: DataFrame | None = None,
+    jaccard_impl: str = "jvm",
 ) -> DataFrame:
     """(id_a, id_b, jaccard, overlap [, n_shared_bands]) for pairs passing
     jaccard >= jaccard_threshold OR overlap >= overlap_threshold.
 
-    The Python-side overlap UDF only runs on pairs that can possibly need it:
-    pairs already kept by jaccard (overlap is part of the output contract)
-    plus pairs under a sound JVM-side upper bound,
-        overlap <= min(inter_d * min(maxc), min(nt)) / max(nt)
-    (every shared distinct shingle contributes at most min of the two max
-    per-token counts, and never more than either side's total). Everything
-    else is decided entirely inside whole-stage codegen.
+    Cost shape (VERDICT r3 next#1, all alternatives MEASURED -- BENCH_NOTES
+    r4): a SOUND size-ratio prefilter runs first inside whole-stage codegen
+        jaccard  <= min(|A|, |B|) / max(|A|, |B|)      (distinct sizes)
+        overlap  <= min(nt_A, nt_B) / max(nt_A, nt_B)  (multiset totals)
+    -- O(1) per row, free, and sharp at high thresholds (theta=0.9
+    flagship). Optional gates before the wide-array join: the bottom-k
+    prefix gate (cfg.verify_prefix_gate_k, see prefix_gate_candidates) and
+    the signature pregate (cfg.verify_pregate_margin). Scoring defaults:
+    jaccard_impl="jvm" (array_intersect; the per-pair sorted binary-search
+    pandas probe lost the 200k A/B ~2x end-to-end -- Arrow transfer of the
+    arrays exceeds the JVM hash-build savings at avg-232-token docs; "pandas"
+    remains for very-long-document corpora) and overlap_impl="pandas" (one
+    probe yields jaccard AND overlap; the JVM map-lookup alternative is
+    O(|A|*|B|)).
 
-    `signed` + cfg.verify_pregate_margin enable the signature-agreement
-    pregate (see pregate_candidates); it is skipped whenever the overlap
-    channel is active or keep_all is requested (both need pairs whose
-    jaccard estimate may be arbitrarily low).
+    Gates are skipped whenever the overlap channel is active or keep_all is
+    requested (both need pairs whose jaccard estimate may be arbitrarily
+    low).
     """
+    if (
+        cfg.verify_prefix_gate_k is not None
+        and not keep_all
+        and cfg.overlap_threshold is None
+    ):
+        candidates = prefix_gate_candidates(candidates, shingled, cfg, id_col)
     if (
         cfg.verify_pregate_margin is not None
         and signed is not None
@@ -427,30 +557,39 @@ def verify_pairs(
     joined = join_pair_features(
         candidates, shingled, id_col, with_counts=compute_overlap
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    out = joined.withColumn("jaccard", jac)
+    sz_a, sz_b = F.size("sh_a").cast("double"), F.size("sh_b").cast("double")
+    jac_bound = F.least(sz_a, sz_b) / F.greatest(F.greatest(sz_a, sz_b), F.lit(1.0))
+    # 1e-12 slack: the bound comparisons tolerate a final-division rounding
+    # ulp so a pair sitting exactly AT the threshold can never be lost to
+    # FP; the exact post-score filter still decides membership.
+    eps = F.lit(1e-12)
+
+    def jvm_jaccard(df):
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = sz_a + sz_b - inter
+        return df.withColumn(
+            "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        )
 
     if compute_overlap:
         if not keep_all:
-            # sound prefilter: drop pairs that can't pass either channel
-            bound = F.least(
-                inter * F.least("maxc_a", "maxc_b").cast("double"),
-                F.least("nt_a", "nt_b").cast("double"),
-            ) / F.greatest(F.greatest("nt_a", "nt_b").cast("double"), F.lit(1.0))
-            out = out.filter(
-                (F.col("jaccard") >= cfg.jaccard_threshold)
-                | (bound >= cfg.overlap_threshold)
+            nt_bound = F.least("nt_a", "nt_b").cast("double") / F.greatest(
+                F.greatest("nt_a", "nt_b").cast("double"), F.lit(1.0)
+            )
+            joined = joined.filter(
+                (jac_bound >= F.lit(cfg.jaccard_threshold) - eps)
+                | (nt_bound >= F.lit(cfg.overlap_threshold) - eps)
             )
         if overlap_impl == "jvm":
-            out = multiset_overlap_jvm(out)
+            out = multiset_overlap_jvm(jvm_jaccard(joined))
         else:
-            out = out.withColumn(
-                "overlap",
-                multiset_overlap_udf(
-                    "sh_a", "cn_a", "sh_b", "cn_b", "nt_a", "nt_b"
-                ),
+            out = joined.withColumn(
+                "_scores",
+                pair_scores_udf("sh_a", "cn_a", "sh_b", "cn_b", "nt_a", "nt_b"),
+            ).select(
+                "*",
+                F.col("_scores.jaccard").alias("jaccard"),
+                F.col("_scores.overlap").alias("overlap"),
             )
         if not keep_all:
             out = out.filter(
@@ -458,6 +597,12 @@ def verify_pairs(
                 | (F.col("overlap") >= cfg.overlap_threshold)
             )
     else:
+        if not keep_all:
+            joined = joined.filter(jac_bound >= F.lit(cfg.jaccard_threshold) - eps)
+        if jaccard_impl == "jvm":
+            out = jvm_jaccard(joined)
+        else:
+            out = joined.withColumn("jaccard", jaccard_sorted_udf("sh_a", "sh_b"))
         out = out.withColumn("overlap", F.lit(None).cast("double"))
         if not keep_all:
             out = out.filter(F.col("jaccard") >= cfg.jaccard_threshold)

@@ -480,6 +480,97 @@ def test_candidates_band_agreement_prefilter(spark):
     assert len({find(i) for i in mega_ids}) == 1
 
 
+def test_verify_jaccard_probe_matches_jvm_intersect(spark):
+    """The per-pair sorted binary-search probe (jaccard_impl='pandas', the
+    r4 default) must agree EXACTLY with the JVM array_intersect expression
+    on every pair -- including docs whose shingle hashes straddle the
+    int64 sign boundary (the probe must compare in uint64 order)."""
+    rng = np.random.default_rng(29)
+    vocab = [f"tok{i}" for i in range(60)]
+    contents = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 80)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"file_id": range(40), "content": contents})
+    )
+    shingled = shingle_files(docs)
+    cands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": [i for i in range(39) for _ in range(2)],
+                "id_b": [j for i in range(39) for j in (i + 1, (i + 11) % 40)],
+            }
+        ).query("id_a < id_b")
+    )
+    # sign-boundary coverage: hashed shingle values must span both signs
+    signs = shingled.select(
+        F.sum(
+            F.size(F.filter("shingles", lambda x: x < 0))
+        ).alias("neg"),
+        F.sum(F.size(F.filter("shingles", lambda x: x >= 0))).alias("pos"),
+    ).first()
+    assert signs.neg > 0 and signs.pos > 0
+    kwargs = dict(keep_all=True, compute_overlap=False)
+    pd_rows = (
+        verify_pairs(cands, shingled, CFG, jaccard_impl="pandas", **kwargs)
+        .select("id_a", "id_b", "jaccard")
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    jvm_rows = (
+        verify_pairs(cands, shingled, CFG, jaccard_impl="jvm", **kwargs)
+        .select("id_a", "id_b", "jaccard")
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(pd_rows) == len(jvm_rows) > 0
+    assert (pd_rows.jaccard == jvm_rows.jaccard).all()  # bit-exact
+    assert (pd_rows.jaccard > 0).any()
+
+
+def test_verify_prefix_gate_output_invariant(spark):
+    """cfg.verify_prefix_gate_k (r4): gated verification must emit exactly
+    the ungated pair set -- the bottom-k prefix estimate over-estimates the
+    unbiased sketch, so at gate = theta - 0.2 no true pair is lost (also
+    measured at 200k scale: 9/9 runs bit-identical, BENCH_NOTES r4).
+    Corpus includes borderline pairs near theta and short docs (shorter
+    than k, where the gate must use the max-size denominator, not k)."""
+    rng = np.random.default_rng(37)
+    vocab = [f"w{i}" for i in range(300)]
+    contents = []
+    for i in range(60):
+        base = list(rng.choice(vocab, size=rng.integers(4, 120)))
+        contents.append(" ".join(base))
+        keep = max(1, int(len(base) * rng.uniform(0.4, 0.95)))
+        mutated = base[:keep] + list(rng.choice(vocab, size=len(base) - keep))
+        contents.append(" ".join(mutated))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"file_id": range(len(contents)), "content": contents})
+    )
+    cfg = replace(
+        PipelineConfig(), max_bucket_pairs=1_000_000, jaccard_threshold=0.5
+    )
+    shingled = shingle_files(docs)
+    signed = sign_files(shingled, cfg)
+    cands = candidate_pairs(band_files(signed, cfg), cfg, signed=signed)
+    base_pairs = {
+        (r.id_a, r.id_b)
+        for r in verify_pairs(cands, shingled, cfg, compute_overlap=False).collect()
+    }
+    gated_cfg = replace(cfg, verify_prefix_gate_k=64)
+    gated_pairs = {
+        (r.id_a, r.id_b)
+        for r in verify_pairs(
+            cands, shingled, gated_cfg, compute_overlap=False
+        ).collect()
+    }
+    assert len(base_pairs) > 10
+    assert gated_pairs == base_pairs
+
+
 def test_verify_overlap_jvm_matches_pandas(spark):
     """The JVM map-lookup overlap expression (multiset_overlap_jvm) and the
     batched-lexsort pandas UDF must agree exactly (VERDICT r2 next#6)."""
@@ -554,3 +645,95 @@ def test_verify_pregate_keeps_true_pairs_and_cuts_candidates(spark):
     n_gated = pregate_candidates(cands, signed, gated_cfg).count()
     assert 0 < n_gated < n_all  # the gate genuinely cuts the join input
     shingled.unpersist(); signed.unpersist(); cands.unpersist()
+
+
+def test_simhash_manku_tables_beat_narrow_blocks_at_scale(spark):
+    """Extreme-scale SimHash table design (VERDICT r3 next#5, Manku WWW'07),
+    demonstrated at test scale: 60k uniform fingerprints restricted to
+    simhash_bits=32 so the m=t+1 single-block key is only 8 bits wide --
+    every bucket holds ~235 unrelated docs >> simhash_max_block, i.e. the
+    exact degeneracy the 64-bit/16-bit design hits at ~10^12 docs. Planted
+    pairs at hamming <= 3 then ride the mega-chunk lottery (recall well
+    below 1), while the SAME fingerprints keyed on 5-of-8 block
+    combinations (20-bit keys, C(8,5)=56 tables) recover recall ~1 at the
+    same max_block. Key entropy, not luck, is the difference."""
+    from dataclasses import replace
+
+    from lsh_for_source_code_spark.operators.candidates import (
+        simhash_candidate_pairs,
+    )
+
+    rng = np.random.default_rng(41)
+    n, n_planted = 60_000, 400
+    base = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+    ids = np.arange(n, dtype=np.int64)
+    # plant near-dups: doc n+i is doc i with <= 3 random bits flipped
+    flips = rng.integers(1, 4, size=n_planted)
+    planted = []
+    for i in range(n_planted):
+        fp = int(base[i])
+        for b in rng.choice(32, size=flips[i], replace=False):
+            fp ^= 1 << int(b)
+        planted.append(fp)
+    all_fp = np.concatenate([base.astype(np.int64), np.array(planted, dtype=np.int64)])
+    all_ids = np.concatenate([ids, np.arange(n, n + n_planted, dtype=np.int64)])
+    fps = spark.createDataFrame(
+        pd.DataFrame({"file_id": all_ids, "simhash": all_fp})
+    )
+
+    def recall(cfg):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in simhash_candidate_pairs(fps, cfg).collect()
+        }
+        hits = sum((i, n + i) in pairs for i in range(n_planted))
+        return hits / n_planted
+
+    narrow = PipelineConfig(
+        simhash_bits=32,
+        simhash_hamming_max=3,
+        simhash_table_blocks=4,   # 8-bit keys: ~235 docs/bucket, degenerate
+        simhash_max_block=16,
+        mega_chunk_target=4,
+    )
+    manku = replace(narrow, simhash_table_blocks=8)  # 20-bit combo keys
+    r_narrow, r_manku = recall(narrow), recall(manku)
+    # narrow keys: recall rides the chunk lottery; combo keys: ~1.0
+    assert r_manku >= 0.99, r_manku
+    assert r_narrow < 0.8, r_narrow
+
+
+def test_simhash_128bit_fingerprints_and_tables(spark):
+    """128-bit fingerprint path end-to-end: simhash_fingerprints emits two
+    64-bit words (word 0 bit-compatible with the legacy simhash column);
+    the Manku-table operator keys on 16-bit-wide block combinations and
+    finds exactly the textually-near-identical docs."""
+    from lsh_for_source_code_spark.functions.minhash import (
+        simhash_fingerprints,
+    )
+    from lsh_for_source_code_spark.functions.tokenize import shingle_files
+    from lsh_for_source_code_spark.operators.candidates import (
+        simhash_candidate_pairs_tables,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    docs = [base, base.replace("tok7 ", "tok7x "), "utterly different words entirely"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"file_id": [0, 1, 2], "content": docs})
+    )
+    # one swapped token moves 5 of 128 fingerprint bits (measured) ->
+    # t=6, m=8: C(8,6)=28 tables keyed on 2-block (32-bit) combinations
+    cfg = PipelineConfig(
+        simhash_bits=128, simhash_hamming_max=6, simhash_table_blocks=8
+    )
+    sh = shingle_files(df)
+    fps = simhash_fingerprints(sh, cfg)
+    rows = {r.file_id: list(r.fp) for r in fps.collect()}
+    assert all(len(v) == 2 for v in rows.values())
+    # word 0 must equal the legacy 64-bit simhash
+    from lsh_for_source_code_spark.functions.minhash import sign_files
+
+    legacy = {r.file_id: r.simhash for r in sign_files(sh, cfg).collect()}
+    assert all(rows[k][0] == legacy[k] for k in legacy)
+    pairs = simhash_candidate_pairs_tables(fps, cfg).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
