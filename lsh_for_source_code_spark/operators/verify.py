@@ -69,11 +69,13 @@ def multiset_overlap_udf(
     Per-pair sorted binary-search probe (see _sorted_probe)."""
     n = len(sh_a)
     inter = np.zeros(n, dtype=np.float64)
+    va, vb = sh_a.to_numpy(), sh_b.to_numpy()
+    wa, wb = cn_a.to_numpy(), cn_b.to_numpy()
     for i in range(n):
-        a, b = sh_a.iloc[i], sh_b.iloc[i]
+        a, b = va[i], vb[i]
         if a is None or b is None:
             continue
-        _, inter[i] = _sorted_probe(a, b, cn_a.iloc[i], cn_b.iloc[i])
+        _, inter[i] = _sorted_probe(a, b, wa[i], wb[i])
     denom = np.maximum(nt_a.to_numpy(np.float64), nt_b.to_numpy(np.float64))
     return pd.Series(np.where(denom > 0, inter / np.maximum(denom, 1.0), 0.0))
 
@@ -90,8 +92,9 @@ def jaccard_sorted_udf(sh_a: pd.Series, sh_b: pd.Series) -> pd.Series:
     the same IEEE double op the JVM path performs."""
     n = len(sh_a)
     out = np.zeros(n, dtype=np.float64)
+    va, vb = sh_a.to_numpy(), sh_b.to_numpy()
     for i in range(n):
-        a, b = sh_a.iloc[i], sh_b.iloc[i]
+        a, b = va[i], vb[i]
         if a is None or b is None or (len(a) == 0 and len(b) == 0):
             continue
         inter_d, _ = _sorted_probe(a, b)
@@ -124,11 +127,13 @@ def pair_scores_udf(
     n = len(sh_a)
     jac = np.zeros(n, dtype=np.float64)
     inter_m = np.zeros(n, dtype=np.float64)
+    va, vb = sh_a.to_numpy(), sh_b.to_numpy()
+    wa, wb = cn_a.to_numpy(), cn_b.to_numpy()
     for i in range(n):
-        a, b = sh_a.iloc[i], sh_b.iloc[i]
+        a, b = va[i], vb[i]
         if a is None or b is None:
             continue
-        d, m = _sorted_probe(a, b, cn_a.iloc[i], cn_b.iloc[i])
+        d, m = _sorted_probe(a, b, wa[i], wb[i])
         union = len(a) + len(b) - d
         if union > 0:
             jac[i] = d / union
