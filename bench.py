@@ -508,14 +508,15 @@ def _write_bench_md(results: dict, eff: float, eff_8_32: float, hw: dict):
         "masquerade as a serial floor; at 100 TB jobs run for hours and",
         "steady-state throughput is the honest scaling metric.",
         "",
-        "| parallelism | median wall (s) | all samples (s) | files/sec | verified pairs | clusters |",
-        "|---|---|---|---|---|---|",
+        "| parallelism | median wall (s) | all samples (s) | files/sec | candidate pairs | verified pairs | clusters |",
+        "|---|---|---|---|---|---|---|",
     ]
     for cpus in sorted(results):
         r = results[cpus]
         lines.append(
             f"| local[{cpus}] | {r['wall_sec']} | {r.get('all_wall_sec', [])} | "
-            f"{r['files_per_sec']} | {r['verified_pairs']} | {r['n_clusters']} |"
+            f"{r['files_per_sec']} | {r.get('candidate_pairs', '—')} | "
+            f"{r['verified_pairs']} | {r['n_clusters']} |"
         )
     lines += [
         "",
@@ -546,8 +547,9 @@ def _write_bench_md(results: dict, eff: float, eff_8_32: float, hw: dict):
         )
     lines += [
         "",
-        "Correctness invariance: verified-pair and cluster counts are",
-        "identical at every parallelism level (same input, seed, config).",
+        "Correctness invariance: candidate-pair, verified-pair and cluster",
+        "counts are identical at every parallelism level (same input, seed,",
+        "config).",
         "",
         "See BENCH_NOTES.md for the cross-window host-variance analysis and",
         "join-strategy comparisons (stable across --scaling reruns).",
