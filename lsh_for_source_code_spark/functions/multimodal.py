@@ -2,10 +2,12 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata; the
 Spark-side contract (schemas, Arrow batch shapes, mapInPandas partitioning)
-is real and tested. The actual codec work is stubbed deterministically
-because decode libraries (PIL/ffmpeg/torchaudio) are not in this container
--- each stub is clearly marked and isolated behind `_decode_*` so swapping
-in a real codec changes no Spark plumbing.
+is real and tested. Decoding is REAL for the uncompressed/pure-stdlib
+formats -- PNG (functions/png.py), WAV (functions/wav.py), Y4M
+(functions/y4m.py) -- and falls back to a clearly-marked deterministic
+digest feature for compressed codecs (JPEG/MP3/MP4 ...) whose libraries
+(PIL/ffmpeg) are not in this container; each fallback is isolated behind
+`_decode_*` so swapping in a real codec changes no Spark plumbing.
 """
 
 from __future__ import annotations
@@ -79,9 +81,52 @@ def _decode_image(payload: bytes, width, height) -> np.ndarray:
 
 
 def _decode_audio_frames(payload: bytes, duration_ms) -> np.ndarray:
-    """STUB: real implementation would ffmpeg-decode and frame-sample."""
+    """WAV payloads are REALLY decoded (pure-stdlib RIFF/PCM + IEEE-float
+    parsing, functions/wav.py) and featurized as per-frame RMS energy +
+    zero-crossing rate over 8 windows. Compressed codecs (MP3/AAC/Opus)
+    still need a library this container lacks, so they fall back to the
+    clearly-marked deterministic digest feature -- swapping in a real codec
+    changes no Spark plumbing."""
     if payload is None:
         raise NotImplementedError("audio decode requires a codec library")
+    from lsh_for_source_code_spark.functions.wav import (
+        audio_feature,
+        decode_wav,
+        is_wav,
+    )
+
+    if is_wav(payload):
+        try:
+            samples, _rate = decode_wav(payload)
+            return audio_feature(samples, n_frames=8)
+        except NotImplementedError:
+            pass  # compressed-in-WAV codec: digest fallback below
+    # FALLBACK STUB for compressed codecs: deterministic digest 'embedding'
+    digest = hashlib.blake2b(payload, digest_size=32).digest()
+    return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
+
+
+def _decode_video_frames(payload: bytes, duration_ms) -> np.ndarray:
+    """Y4M (YUV4MPEG2) payloads are REALLY decoded (pure-stdlib header +
+    raw-plane parsing, functions/y4m.py) and featurized as 4 evenly-spaced
+    frame samples x 2x2 block-mean luminance (the PNG channel's feature
+    shape per frame). Compressed containers (MP4/WebM) still need a codec
+    library this container lacks, so they fall back to the deterministic
+    digest feature -- swapping in a real codec changes no Spark plumbing."""
+    if payload is None:
+        raise NotImplementedError("video decode requires a codec library")
+    from lsh_for_source_code_spark.functions.y4m import (
+        decode_y4m,
+        is_y4m,
+        video_feature,
+    )
+
+    if is_y4m(payload):
+        try:
+            return video_feature(decode_y4m(payload), k=4, grid=2)
+        except NotImplementedError:
+            pass  # unsupported chroma layout: digest fallback below
+    # FALLBACK STUB for compressed containers: deterministic digest
     digest = hashlib.blake2b(payload, digest_size=32).digest()
     return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
 
@@ -103,8 +148,10 @@ def extract_media_features(media: DataFrame, batch_size: int = 256) -> DataFrame
                 nbytes.append(len(raw))
                 if kind == "image":
                     feats.append(_decode_image(raw, w, h))
-                elif kind in ("audio", "video"):
+                elif kind == "audio":
                     feats.append(_decode_audio_frames(raw, dur))
+                elif kind == "video":
+                    feats.append(_decode_video_frames(raw, dur))
                 else:
                     feats.append(np.zeros(16, dtype=np.float32))
             yield pd.DataFrame(

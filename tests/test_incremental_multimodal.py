@@ -212,3 +212,192 @@ def test_media_features_use_real_png_pixels(spark):
     assert np.allclose(rows[1].feature, expected, atol=1e-6)
     assert np.allclose(rows[2].feature, expected, atol=1e-6)
     assert len(rows[1].feature) == 16
+
+
+# ---------------------------------------------------------------- WAV / Y4M
+
+
+def _encode_wav(samples: np.ndarray, rate: int = 8000, bits: int = 16,
+                n_ch: int = 1, fmt_code: int | None = None,
+                extra_chunk: bytes | None = None) -> bytes:
+    """Independent test-side WAV encoder (RIFF writer written from the
+    public spec, NOT via functions/wav.py). samples: float in [-1, 1],
+    mono; replicated across n_ch channels."""
+    import struct
+
+    x = np.tile(samples.reshape(-1, 1), (1, n_ch)).reshape(-1)
+    if fmt_code is None:
+        fmt_code = 1 if bits in (8, 16, 24, 32) else 3
+    if fmt_code == 1:
+        if bits == 8:
+            pcm = (np.clip(x, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+        elif bits == 16:
+            pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        elif bits == 24:
+            v = (np.clip(x, -1, 1) * 8388607).astype(np.int32)
+            b = np.empty((len(v), 3), dtype=np.uint8)
+            b[:, 0] = v & 0xFF
+            b[:, 1] = (v >> 8) & 0xFF
+            b[:, 2] = (v >> 16) & 0xFF
+            pcm = b.tobytes()
+        else:
+            pcm = (np.clip(x, -1, 1) * 2147483647).astype("<i4").tobytes()
+    else:
+        pcm = x.astype("<f4" if bits == 32 else "<f8").tobytes()
+    block = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_code, n_ch, rate, rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk is not None:
+        chunks += extra_chunk
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    if len(pcm) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _encode_y4m(luma: np.ndarray, chroma: str = "420jpeg",
+                header_extra: str = "", frame_extra: str = "") -> bytes:
+    """Independent test-side Y4M encoder. luma: (n, h, w) uint8; chroma
+    planes are written as the per-frame midpoint constant 128."""
+    n, h, w = luma.shape
+    div = {"420jpeg": (2, 2), "420mpeg2": (2, 2), "420": (2, 2),
+           "422": (2, 1), "444": (1, 1), "mono": None}[chroma]
+    hdr = f"YUV4MPEG2 W{w} H{h} F25:1{header_extra} C{chroma}\n".encode()
+    out = bytearray(hdr)
+    for f in range(n):
+        out += f"FRAME{frame_extra}\n".encode()
+        out += luma[f].tobytes()
+        if div is not None:
+            out += b"\x80" * (2 * ((w // div[0]) * (h // div[1])))
+    return bytes(out)
+
+
+def test_wav_decoder_all_encodings():
+    """decode_wav must recover the same waveform through every supported
+    encoding: PCM 8/16/24/32-bit, float32/float64, stereo-duplicated,
+    WAVE_FORMAT_EXTENSIBLE, and with an unknown RIFF chunk before data."""
+    import struct
+
+    from lsh_for_source_code_spark.functions.wav import decode_wav
+
+    t = np.arange(800) / 8000.0
+    ref = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    for bits, fmt_code, atol in [
+        (8, 1, 2e-2), (16, 1, 1e-4), (24, 1, 1e-6), (32, 1, 1e-7),
+        (32, 3, 1e-7), (64, 3, 1e-7),
+    ]:
+        got, rate = decode_wav(_encode_wav(ref, bits=bits, fmt_code=fmt_code))
+        assert rate == 8000
+        assert np.allclose(got, ref, atol=atol), (bits, fmt_code)
+    # stereo with identical channels mixes back to the same mono waveform
+    got, _ = decode_wav(_encode_wav(ref, bits=16, n_ch=2))
+    assert np.allclose(got, ref, atol=1e-4)
+    # WAVE_FORMAT_EXTENSIBLE wrapper around PCM16
+    data = _encode_wav(ref, bits=16)
+    fmt_ext = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16) \
+        + struct.pack("<HHI", 22, 16, 0x00000003) \
+        + struct.pack("<H", 1) + b"\x00" * 14
+    pcm = (np.clip(ref, -1, 1) * 32767).astype("<i2").tobytes()
+    chunks = b"fmt " + struct.pack("<I", len(fmt_ext)) + fmt_ext \
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    ext = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    got, _ = decode_wav(ext)
+    assert np.allclose(got, ref, atol=1e-4)
+    # unknown chunk (LIST metadata) before data is skipped
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    got, _ = decode_wav(_encode_wav(ref, bits=16, extra_chunk=extra))
+    assert np.allclose(got, ref, atol=1e-4)
+
+
+def test_wav_decoder_rejects_unsupported():
+    import struct
+
+    import pytest
+
+    from lsh_for_source_code_spark.functions.wav import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav")
+    # mu-law (format code 7) -> NotImplementedError
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    data = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(NotImplementedError):
+        decode_wav(data)
+
+
+def test_y4m_decoder_layouts_and_rejects():
+    """decode_y4m must return exact luma planes for every supported chroma
+    layout, tolerate frame-level params, and reject corrupt/unsupported
+    input."""
+    import pytest
+
+    from lsh_for_source_code_spark.functions.y4m import decode_y4m
+
+    rng = np.random.default_rng(17)
+    luma = rng.integers(0, 256, size=(3, 6, 8), dtype=np.uint8)
+    for chroma in ("420jpeg", "420mpeg2", "420", "422", "444", "mono"):
+        got = decode_y4m(_encode_y4m(luma, chroma=chroma))
+        assert (got == luma).all(), chroma
+    # frame-level params shift the header but not the planes
+    got = decode_y4m(_encode_y4m(luma, frame_extra=" Xsc"))
+    assert (got == luma).all()
+    with pytest.raises(ValueError):
+        decode_y4m(b"not a y4m")
+    with pytest.raises(ValueError):  # truncated last frame
+        decode_y4m(_encode_y4m(luma)[:-5])
+    with pytest.raises(NotImplementedError):  # 411 layout unsupported
+        decode_y4m(b"YUV4MPEG2 W4 H4 C411\n" + b"FRAME\n" + b"\x00" * 24)
+
+
+def test_media_features_use_real_wav_and_y4m(spark):
+    """End-to-end through the Spark mapInPandas channel: WAV audio and Y4M
+    video payloads must produce decoded-sample features (not the digest
+    fallback) -- byte-wise DIFFERENT encodings of the same content (PCM16
+    vs float32; 420jpeg vs 420mpeg2 chroma siting tag) must featurize
+    identically, which is impossible for any digest-of-bytes stub."""
+    from lsh_for_source_code_spark.functions.wav import audio_feature, decode_wav
+    from lsh_for_source_code_spark.functions.y4m import decode_y4m, video_feature
+
+    # waveform bounded away from zero: the RMS/zero-crossing feature is then
+    # invariant to PCM quantization (a near-zero sample's SIGN can
+    # legitimately flip between encodings, which would change ZCR)
+    rng_w = np.random.default_rng(31)
+    wave = (
+        rng_w.uniform(0.1, 0.9, 4000) * rng_w.choice([-1.0, 1.0], 4000)
+    ).astype(np.float32)
+    wav_a = _encode_wav(wave, bits=16)
+    wav_b = _encode_wav(wave, bits=32, fmt_code=3)
+    assert wav_a != wav_b
+    rng = np.random.default_rng(23)
+    luma = rng.integers(0, 256, size=(5, 8, 8), dtype=np.uint8)
+    y4m_a = _encode_y4m(luma, chroma="420jpeg")
+    y4m_b = _encode_y4m(luma, chroma="420mpeg2")
+    assert y4m_a != y4m_b
+    mp3ish = b"\xff\xfb" + b"\x00" * 64  # non-WAV audio -> digest fallback
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3, 4, 5],
+                "kind": ["audio", "audio", "video", "video", "audio"],
+                "mime": ["audio/wav", "audio/wav", "video/x-y4m",
+                         "video/x-y4m", "audio/mpeg"],
+                "payload": [wav_a, wav_b, y4m_a, y4m_b, mp3ish],
+                "width": [None] * 5,
+                "height": [None] * 5,
+                "duration_ms": [500, 500, 200, 200, 100],
+            }
+        )
+    )
+    rows = {r.media_id: r for r in extract_media_features(media).collect()}
+    exp_audio = audio_feature(decode_wav(wav_a)[0], n_frames=8)
+    exp_video = video_feature(decode_y4m(y4m_a), k=4, grid=2)
+    assert np.allclose(rows[1].feature, exp_audio, atol=1e-4)
+    assert np.allclose(rows[2].feature, exp_audio, atol=1e-4)
+    assert len(rows[1].feature) == 16  # 8 RMS + 8 zero-crossing windows
+    assert np.allclose(rows[3].feature, exp_video, atol=1e-6)
+    assert np.allclose(rows[4].feature, exp_video, atol=1e-6)
+    assert len(rows[3].feature) == 16  # 4 frames x 2x2 luminance grid
+    assert rows[1].feature != rows[3].feature
+    assert len(rows[5].feature) == 32  # digest fallback path, marked stub
