@@ -117,6 +117,28 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+#: GPT-2-style pre-tokenizer regex, BPE-ish: contraction suffixes,
+#: space-prefixed letter / digit / punctuation runs, whitespace runs.
+#: ASCII classes keep the Java (Spark) and RE2 (DuckDB) regex dialects
+#: byte-equivalent; lookahead (which RE2 lacks) is deliberately avoided.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """LLM-pipeline token counting, BPE-ish variant (the whitespace/word
+    variant is q_token_counts): per-document count of GPT-2-style
+    pre-tokenizer matches, JVM-side regexp_extract_all -- zero Python in
+    the loop, scan-parallel at any scale."""
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_RE), 0
+            )
+        ).alias("n_bpe_tokens"),
+    )
+
+
 def q_vocab_size(spark, sf_dir):
     """Global distinct-token count (reference O3 vocabulary build)."""
     return (
@@ -577,6 +599,49 @@ def _ann_recall_planes() -> np.ndarray:
     return rng.standard_normal((_ANN_R_TABLES, _ANN_R_BITS, _ANN_R_DIM))
 
 
+def _plane_sketch_exprs(planes: np.ndarray) -> list:
+    """One Spark column per LSH table: the bits-wide hyperplane sketch of
+    array column `v`, with each dot product rounded to 6dp before the sign
+    test (so a last-ulp summation difference can never flip a bucket bit
+    between Spark and the DuckDB oracle)."""
+    tables, bits, _dim = planes.shape
+    out = []
+    for t in range(tables):
+        acc = F.lit(0).cast("long")
+        for b in range(bits):
+            arr = F.array(*[F.lit(float(x)) for x in planes[t, b]])
+            dot = F.aggregate(
+                F.zip_with("v", arr, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + (F.round(dot, 6) > 0).cast("long") * F.lit(1 << b)
+        out.append(acc)
+    return out
+
+
+def _plane_sketch_union_sql(planes: np.ndarray, src: str = "emb") -> str:
+    """DuckDB mirror of _plane_sketch_exprs: a UNION ALL producing
+    (vec_id, table_id, sketch) rows from CTE `src`, plane coefficients
+    inlined as full-precision literals."""
+    tables, bits, _dim = planes.shape
+
+    def dot(t: int, b: int) -> str:
+        lits = ", ".join(repr(float(x)) for x in planes[t, b])
+        return f"list_dot_product(v, [{lits}])"
+
+    def sketch(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN round({dot(t, b)}, 6) > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(bits)
+        )
+
+    return "\n          UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id, {sketch(t)} AS sketch FROM {src}"
+        for t in range(tables)
+    )
+
+
 def q_embedding_ann_recall(spark, sf_dir):
     """ORACLE-CHECKED measured ANN recall (VERDICT r3 next#7): per query
     vector, how many of the exact cosine top-5 appear in the multi-table
@@ -592,24 +657,12 @@ def q_embedding_ann_recall(spark, sf_dir):
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
 
-    def sketch_expr(t: int):
-        acc = F.lit(0).cast("long")
-        for b in range(_ANN_R_BITS):
-            arr = F.array(*[F.lit(float(x)) for x in planes[t, b]])
-            dot = F.aggregate(
-                F.zip_with("v", arr, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            acc = acc + (F.round(dot, 6) > 0).cast("long") * F.lit(1 << b)
-        return acc
-
     sk = track(
         emb.select(
             "vec_id",
-            F.posexplode(
-                F.array(*[sketch_expr(t) for t in range(_ANN_R_TABLES)])
-            ).alias("table_id", "sketch"),
+            F.posexplode(F.array(*_plane_sketch_exprs(planes))).alias(
+                "table_id", "sketch"
+            ),
         ).persist()
     )
     q_sk = sk.filter(F.col("vec_id") < 10).select(
@@ -651,22 +704,7 @@ def q_embedding_ann_recall(spark, sf_dir):
 
 
 def _ann_recall_oracle_sql() -> str:
-    planes = _ann_recall_planes()
-
-    def dot(t: int, b: int) -> str:
-        lits = ", ".join(repr(float(x)) for x in planes[t, b])
-        return f"list_dot_product(v, [{lits}])"
-
-    def sketch(t: int) -> str:
-        return " + ".join(
-            f"(CASE WHEN round({dot(t, b)}, 6) > 0 THEN {1 << b} ELSE 0 END)"
-            for b in range(_ANN_R_BITS)
-        )
-
-    sk_union = "\n          UNION ALL ".join(
-        f"SELECT vec_id, {t} AS table_id, {sketch(t)} AS sketch FROM emb"
-        for t in range(_ANN_R_TABLES)
-    )
+    sk_union = _plane_sketch_union_sql(_ann_recall_planes())
     return f"""
         WITH emb AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -699,10 +737,82 @@ def _ann_recall_oracle_sql() -> str:
     """
 
 
+#: cosine threshold for the embedding near-dup channel on this testdata:
+#: the embeddings are UNSTRUCTURED (max pair cosine ~0.51 at sf0.01), so
+#: 0.45 exercises a non-empty result; production near-dup at cos >= 0.9
+#: runs the identical plan with more bits per table (smaller buckets).
+_COS_DUP_TAU = 0.45
+
+
+def q_embedding_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate PAIRS -- the embedding channel of
+    the dedup suite (exact sha / MinHash / SimHash / n-gram Jaccard being
+    the text channels). Multi-table hyperplane-LSH bucketing generates
+    candidates (self-join on (table_id, sketch): bucketed, never
+    all-pairs -- the 100 TB shape), then exact cosine verifies >= tau.
+    Same plane bank as q_embedding_ann_recall, inlined as full-precision
+    literals into both engines, so the DuckDB oracle reproduces the
+    bucketing exactly; cosine rounded to 4dp for the value hash
+    (precedent: embedding_topk)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sk = track(
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*_plane_sketch_exprs(_ann_recall_planes()))
+            ).alias("table_id", "sketch"),
+        ).persist()
+    )
+    cand = (
+        sk.select(F.col("vec_id").alias("id_a"), "table_id", "sketch")
+        .join(
+            sk.select(F.col("vec_id").alias("id_b"), "table_id", "sketch"),
+            ["table_id", "sketch"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("c", _cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("c") >= _COS_DUP_TAU)
+        .select("id_a", "id_b", F.round("c", 4).alias("cos_sim"))
+    )
+
+
+def _cosine_dups_oracle_sql() -> str:
+    sk_union = _plane_sketch_union_sql(_ann_recall_planes())
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sk AS (
+          {sk_union}
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sk a JOIN sk b
+            ON a.table_id = b.table_id AND a.sketch = b.sketch
+           AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b,
+               round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
+        FROM cand c
+        JOIN emb x ON x.vec_id = c.id_a
+        JOIN emb y ON y.vec_id = c.id_b
+        WHERE list_cosine_similarity(x.v, y.v) >= {_COS_DUP_TAU}
+    """
+
+
 QUERIES = {
     "content_sha": q_content_sha,
     "exact_dup_groups": q_exact_dup_groups,
     "token_counts": q_token_counts,
+    "token_count_bpe": q_token_count_bpe,
     "vocab_size": q_vocab_size,
     "token_freq_topk": q_token_freq_topk,
     "heavy_tokens_per_doc": q_heavy_tokens_per_doc,
@@ -729,6 +839,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ann_recall": q_embedding_ann_recall,
+    "embedding_cosine_dups": q_embedding_cosine_dups,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -745,6 +856,12 @@ ORACLE = {
     "token_counts": f"""
         SELECT doc_id,
                len(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}')) AS n_tokens
+        FROM documents
+    """,
+    "token_count_bpe": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(coalesce(text, ''),
+                   '{_BPE_RE.replace("'", "''")}')) AS n_bpe_tokens
         FROM documents
     """,
     "vocab_size": f"""
@@ -1029,4 +1146,5 @@ ORACLE = {
         ) WHERE rn <= 5
     """,
     "embedding_ann_recall": _ann_recall_oracle_sql(),
+    "embedding_cosine_dups": _cosine_dups_oracle_sql(),
 }
