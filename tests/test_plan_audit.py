@@ -1,0 +1,112 @@
+"""Physical-plan audits: assert the Catalyst plans ARE the plans we
+designed for 100 TB, not just that the results are right.
+
+Each property here is a scale invariant the architecture depends on
+(ARCHITECTURE.md "Why these choices survive 100x"): filters reach the
+parquet scan, scans read only referenced columns, aggregations combine
+map-side before the exchange, big self-joins never broadcast or go
+cartesian, and the hot aggregation pipeline stays inside whole-stage
+codegen. A refactor that silently regresses any of these keeps every
+result-correctness test green while multiplying 100 TB cost -- this file
+is the regression net.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lsh_for_source_code_spark.entry_queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries whose plans are audited for the absence of cartesian products.
+#: (Not all 31: constructors that eagerly run sub-jobs -- CC label
+#: collection, occupancy stats -- are covered by their own operator tests;
+#: this list spans every JOIN SHAPE the engine emits: band self-join,
+#: verify feature join, inverted-index posting join, simhash block join,
+#: embedding bucket join, broadcast dim join, window/agg-only plans.)
+_AUDITED = [
+    "near_dup_pairs",
+    "near_dup_pairs_k3",
+    "overlap_dup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_hamming_pairs",
+    "embedding_cosine_dups",
+    "embedding_topk",
+    "broadcast_dim_join",
+    "top_customer_per_nation",
+    "agg_lineitem",
+    "token_counts",
+    "events_hourly",
+    "exact_dup_groups",
+]
+
+
+def _plan(spark, df, mode: str = "formatted") -> str:
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.mark.parametrize("name", _AUDITED)
+def test_no_cartesian_product(spark, name):
+    """No audited plan may contain a cartesian product. The one deliberate
+    cross join (embedding_topk's bounded 10-vector query set) must compile
+    to a broadcast nested-loop join, never CartesianProduct."""
+    p = _plan(spark, QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in p, name
+    if name == "embedding_topk":
+        assert "BroadcastNestedLoopJoin" in p
+
+
+def test_scan_column_pruning(spark):
+    """Scans read ONLY the referenced columns: a projection of 2 columns
+    must not drag the rest of the row through the parquet reader."""
+    p = _plan(spark, QUERIES["token_counts"](spark, SF_DIR))
+    scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scan and "doc_id" in scan[0] and "text" in scan[0]
+    assert "lang" not in scan[0] and "n_chars" not in scan[0]
+    p = _plan(spark, QUERIES["agg_lineitem"](spark, SF_DIR))
+    scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scan and "l_orderkey" not in scan[0] and "l_shipdate" not in scan[0]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A filter on a scan column must appear in the parquet PushedFilters,
+    not as a post-scan Filter node only."""
+    p = _plan(spark, QUERIES["embedding_topk"](spark, SF_DIR))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("LessThan(vec_id,10)" in ln for ln in pushed), pushed
+
+
+def test_join_strategy_discipline(spark):
+    """True dimension joins broadcast; the LSH band self-join and verify
+    feature join must NOT (a broadcast there is a driver-serial collect of
+    the big side -- the measured r1 scaling floor, BENCH_NOTES #4) and are
+    pinned to shuffled-hash (no sort of wide array rows)."""
+    p = _plan(spark, QUERIES["broadcast_dim_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    p = _plan(spark, QUERIES["near_dup_pairs"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_partial_aggregation_before_exchange(spark):
+    """groupBy aggregates must map-side combine (partial_*) below the
+    exchange -- the difference between shuffling rows and shuffling
+    groups at 100 TB."""
+    p = _plan(spark, QUERIES["agg_lineitem"](spark, SF_DIR), "simple")
+    ex = p.index("Exchange")
+    assert "partial_sum" in p[ex:], "no map-side combine below the exchange"
+
+
+def test_hot_aggregation_stays_in_codegen(spark):
+    """After execution (AQE final plan), the aggregation pipeline must
+    carry whole-stage-codegen stages -- no interpreted gaps in the hot
+    path."""
+    df = QUERIES["agg_lineitem"](spark, SF_DIR)
+    df.collect()
+    p = _plan(spark, df)
+    assert "isFinalPlan=true" in p
+    assert "codegen id" in p
