@@ -251,6 +251,39 @@ class PipelineConfig:
     def candidate_recall_at(self, s: float) -> float:
         return candidate_probability(s, self.bands, self.rows_per_band)
 
+    @classmethod
+    def cluster_profile(cls, executors: int = 1000, **overrides) -> "PipelineConfig":
+        """The measured-on-a-real-cluster operating point: knobs that are
+        deliberately OFF in the single-box default because they were A/B'd
+        to local break-even, but whose wins are network/footprint wins a
+        multi-executor cluster actually collects.
+
+        - verify_prefix_gate_k=64: 73% of candidate pairs cut before the
+          wide-array verify join with ZERO verified-pair loss (9/9 A/B runs
+          bit-identical at 200k) and ~3.6x fewer verify-join shuffle bytes
+          (BENCH_NOTES r4 #12). Single-box wall is break-even (row
+          machinery dominates there); on a cluster the scarce resource is
+          the network the gate relieves.
+        - shuffle_partitions ~= 4 tasks/core so AQE has packing slack; at
+          1000 executors x 4 cores that is 16k partitions, which also keeps
+          per-partition shuffle blocks under memory at 100 TB inputs.
+        - everything recall-relevant (refinement levels, chunk target,
+          band agreement) stays at the default, recall-proven values --
+          this profile changes COST knobs only, so verified output is
+          bit-identical to the default config on the same input (tested).
+
+        SimHash extreme scale is corpus-dependent, not cluster-dependent:
+        turn on simhash_table_blocks (Manku tables) when the CORPUS grows
+        past ~10^9 docs, regardless of executor count.
+        """
+        return cls(
+            **{
+                "verify_prefix_gate_k": 64,
+                "shuffle_partitions": max(32, 4 * 4 * executors),
+                **overrides,
+            }
+        )
+
 
 #: Config reproducing the reference golden run's shape: stages=10, buckets=10,
 #: sparsity=5, sig size 50 (output dir name + ReadMe.txt:51). Used by parity

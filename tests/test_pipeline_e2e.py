@@ -419,3 +419,26 @@ def test_run_pipeline_runs_collision_audit_by_default(spark, monkeypatch):
         spark, df, PipelineConfig(check_id_collisions=False)
     )
     assert "clusters" in out
+
+
+def test_cluster_profile_output_identical_to_default(spark):
+    """PipelineConfig.cluster_profile() changes COST knobs only (prefix
+    gate, shuffle partitions) -- verified pairs and clusters must be
+    bit-identical to the default config on the same input, so switching
+    profiles between a laptop run and a 1000-executor run can never change
+    results. executors=1 keeps the partition count test-sized; the gate
+    path itself is exercised (verify_prefix_gate_k=64)."""
+    prof = PipelineConfig.cluster_profile(executors=1)
+    assert prof.verify_prefix_gate_k == 64
+    assert prof.jaccard_threshold == CFG.jaccard_threshold
+    assert prof.mega_refine_levels == CFG.mega_refine_levels
+    assert prof.min_band_agreement == CFG.min_band_agreement
+    df, _ = corpus_df(spark, n_files=120, seed=9)
+    base = run_pipeline(spark, df, PipelineConfig())
+    base_pairs = {(r.id_a, r.id_b) for r in base["verified_pairs"].collect()}
+    got = run_pipeline(spark, df, prof)
+    got_pairs = {(r.id_a, r.id_b) for r in got["verified_pairs"].collect()}
+    assert len(base_pairs) > 0
+    assert got_pairs == base_pairs
+    # 1000-executor shape is structurally valid too (no pipeline run)
+    assert PipelineConfig.cluster_profile().shuffle_partitions == 16000
