@@ -279,6 +279,110 @@ def _lcs_len(ca: np.ndarray, cb: np.ndarray) -> int:
     return _lcs_len_from(_RollingHasher(ca), _RollingHasher(cb), 0, min(len(ca), len(cb)))
 
 
+def _shared_window_hits(entries) -> set[int]:
+    """entries: (pair_id, ha, hb, L) -- which pairs share at least one
+    length-L window double-hash key between their two sides?
+
+    ONE concatenated (pair, key, side) lexsort resolves every entry
+    (processed in key-budget slices: an unsliced batch replicates a hub
+    doc's key array once PER PAIR it appears in, so peak memory was
+    O(batch total keys) -- multi-GB with large docs -- vs ~200 MB per
+    slice now, ADVICE r3). window_keys(L) is memoized per (hasher, L)
+    within the call, so a hub doc's keys are built once per round, not
+    once per pair."""
+    out: set[int] = set()
+    memo: dict[tuple[int, int], np.ndarray] = {}
+
+    def keys_of(h: "_RollingHasher", L: int) -> np.ndarray:
+        k = memo.get((id(h), L))
+        if k is None:
+            k = memo[(id(h), L)] = h.window_keys(L)
+        return k
+
+    def run_slice(batch):
+        keys, tags, sides = [], [], []
+        for i, ha, hb, L in batch:
+            for h, side in ((ha, 0), (hb, 1)):
+                k = keys_of(h, L)
+                keys.append(k)
+                tags.append(np.full(len(k), i, dtype=np.int64))
+                sides.append(np.full(len(k), side, dtype=np.int8))
+        K = np.concatenate(keys)
+        T = np.concatenate(tags)
+        S = np.concatenate(sides)
+        order = np.lexsort((S, K, T))
+        K, T, S = K[order], T[order], S[order]
+        hit = (T[1:] == T[:-1]) & (K[1:] == K[:-1]) & (S[1:] != S[:-1])
+        out.update(np.unique(T[1:][hit]).tolist())
+
+    batch, batch_keys = [], 0
+    for entry in entries:
+        _i, ha, hb, L = entry
+        n_keys = (ha.n - L + 1) + (hb.n - L + 1)
+        if batch and batch_keys + n_keys > _GATE_KEY_BUDGET:
+            run_slice(batch)
+            batch, batch_keys = [], 0
+        batch.append(entry)
+        batch_keys += n_keys
+    if batch:
+        run_slice(batch)
+    return out
+
+
+#: per-pair byte size (len_a + len_b) below which the exact LCS bisection
+#: runs BATCHED (one _shared_window_hits lexsort per round across pairs)
+#: instead of per-pair probes. MEASURED crossover (r4, same-process A/B on
+#: block-shared corpora): at ~40-char docs batching wins 2.9x (per-probe
+#: Python overhead dominates); at >=150 chars per-pair probes win 2-5x
+#: (the probes are already numpy-vectorized per doc, and the batched
+#: rounds pay a 3-key lexsort over the concatenation that grows with doc
+#: size). Source files are KB-scale, so production pairs take the
+#: per-pair path; the batched path covers short-string corpora.
+_LCS_BATCH_SEARCH_MAX_BYTES = 160
+
+
+def _batched_lcs_search(entries: list) -> dict[int, int]:
+    """entries: (pair_id, ha, hb, lo, hi) with the invariant 'a common
+    substring of length lo exists (or lo == 0); none of length > hi'.
+    Returns pair_id -> exact LCS length.
+
+    Small pairs (combined size under _LCS_BATCH_SEARCH_MAX_BYTES) bisect
+    together -- every still-active pair probes its own midpoint in one
+    _shared_window_hits lexsort per ROUND (<= log2(max doc len) rounds) --
+    large pairs bisect with per-pair numpy probes (_lcs_len_from); see the
+    measured crossover above (NOTES round-5 backlog #3: 'vectorize the
+    exact search' was measured and holds only below the crossover).
+    Identical results by construction: each pair performs exactly the
+    bisection _lcs_len_from performs."""
+    result: dict[int, int] = {}
+    active = []
+    for i, ha, hb, lo, hi in entries:
+        if lo >= hi:
+            result[i] = lo
+        elif ha.n + hb.n > _LCS_BATCH_SEARCH_MAX_BYTES:
+            result[i] = _lcs_len_from(ha, hb, lo, hi)
+        else:
+            active.append((i, ha, hb, lo, hi))
+    while active:
+        probes = [
+            (i, ha, hb, (lo + hi + 1) // 2) for i, ha, hb, lo, hi in active
+        ]
+        hits = _shared_window_hits(probes)
+        nxt = []
+        for i, ha, hb, lo, hi in active:
+            mid = (lo + hi + 1) // 2
+            if i in hits:
+                lo = mid
+            else:
+                hi = mid - 1
+            if lo < hi:
+                nxt.append((i, ha, hb, lo, hi))
+            else:
+                result[i] = lo
+        active = nxt
+    return result
+
+
 def make_lcs_containment_udf(min_containment: float | None = None):
     """Longest-common-substring containment: lcs_len / min(len_a, len_b).
 
@@ -294,15 +398,19 @@ def make_lcs_containment_udf(min_containment: float | None = None):
     concatenated, tagged (pair, side), and resolved with ONE lexsort over
     the whole Arrow batch -- a shared (pair, key) run containing both
     sides means the gate passes. Hashers are built once per DISTINCT
-    content in the batch (a doc appears in many pairs). Only passing
-    pairs (the rare ones) run the per-pair exact binary search. Failing
-    pairs return 0.0 -- callers filter on >= min_containment, so the
-    contract is unchanged for them. With min_containment=None the exact
-    value is always computed (r1 behaviour; the DP-oracle tests use
-    this)."""
+    content in the batch (a doc appears in many pairs). Failing pairs
+    return 0.0 -- callers filter on >= min_containment, so the contract
+    is unchanged for them. With min_containment=None the exact value is
+    always computed (r1 behaviour; the DP-oracle tests use this).
 
-    @pandas_udf(DoubleType())
-    def lcs_containment(content_a: pd.Series, content_b: pd.Series) -> pd.Series:
+    The EXACT search is batched too (r4, NOTES round-5 backlog #3): all
+    still-active pairs bisect their own length ranges together, one
+    _shared_window_hits lexsort per bisection round (<= log2(max doc len)
+    rounds per Arrow batch) instead of a per-pair Python loop of
+    np.intersect1d probes; hub docs' window keys are memoized per round.
+    Result is bisection-identical to the per-pair search."""
+
+    def _batch(content_a, content_b) -> np.ndarray:
         out = np.zeros(len(content_a), dtype=np.float64)
         hashers: dict[str, "_RollingHasher"] = {}
 
@@ -314,24 +422,6 @@ def make_lcs_containment_udf(min_containment: float | None = None):
                 )
             return h
 
-        if min_containment is None:
-            for i, (a, b) in enumerate(zip(content_a, content_b)):
-                if not a or not b:
-                    continue
-                ha, hb = hasher(a), hasher(b)
-                m = min(ha.n, hb.n)
-                if m:
-                    out[i] = _lcs_len_from(ha, hb, 0, m) / m
-            return pd.Series(out)
-
-        # batched gate: concatenated (pair, key, side) lexsorts, processed in
-        # key-budget slices. An unsliced batch replicates every pair's
-        # length-L0 key arrays (both sides, a hub doc once PER PAIR it
-        # appears in), so peak memory was O(batch total keys) -- multi-GB
-        # with large docs -- vs the per-pair probe's O(doc) (ADVICE r3).
-        # Each slice holds <= _GATE_KEY_BUDGET keys (~3 int64/int8 arrays,
-        # <~200 MB peak), which preserves the lexsort's vectorization win
-        # while restoring a bounded footprint.
         work: list[tuple[int, "_RollingHasher", "_RollingHasher", int, int]] = []
         for i, (a, b) in enumerate(zip(content_a, content_b)):
             if not a or not b:
@@ -340,43 +430,34 @@ def make_lcs_containment_udf(min_containment: float | None = None):
             m = min(ha.n, hb.n)
             if m == 0:
                 continue
-            L0 = min(m, max(1, int(np.ceil(min_containment * m))))
+            L0 = 0 if min_containment is None else min(
+                m, max(1, int(np.ceil(min_containment * m)))
+            )
             work.append((i, ha, hb, m, L0))
         if not work:
-            return pd.Series(out)
+            return out
+        if min_containment is None:
+            entries = [(i, ha, hb, 0, m) for i, ha, hb, m, _L0 in work]
+        else:
+            # gate first: only pairs sharing a length-L0 window key can
+            # reach containment >= min_containment; failures stay 0.0
+            # (callers filter on >= min_containment, contract unchanged)
+            passed = _shared_window_hits(
+                [(i, ha, hb, L0) for i, ha, hb, _m, L0 in work]
+            )
+            entries = [
+                (i, ha, hb, L0, m) for i, ha, hb, m, L0 in work if i in passed
+            ]
+        denom = {i: m for i, _ha, _hb, m, _L0 in work}
+        for i, lcs in _batched_lcs_search(entries).items():
+            out[i] = lcs / denom[i]
+        return out
 
-        def run_slice(entries):
-            keys, tags, sides = [], [], []
-            for i, ha, hb, _m, L0 in entries:
-                for h, side in ((ha, 0), (hb, 1)):
-                    k = h.window_keys(L0)
-                    keys.append(k)
-                    tags.append(np.full(len(k), i, dtype=np.int64))
-                    sides.append(np.full(len(k), side, dtype=np.int8))
-            K = np.concatenate(keys)
-            T = np.concatenate(tags)
-            S = np.concatenate(sides)
-            order = np.lexsort((S, K, T))
-            K, T, S = K[order], T[order], S[order]
-            hit = (T[1:] == T[:-1]) & (K[1:] == K[:-1]) & (S[1:] != S[:-1])
-            passed = set(np.unique(T[1:][hit]).tolist())
-            for i, ha, hb, m, L0 in entries:
-                if i in passed:
-                    out[i] = _lcs_len_from(ha, hb, L0, m) / m
+    @pandas_udf(DoubleType())
+    def lcs_containment(content_a: pd.Series, content_b: pd.Series) -> pd.Series:
+        return pd.Series(_batch(content_a, content_b))
 
-        batch: list = []
-        batch_keys = 0
-        for entry in work:
-            _i, ha, hb, _m, L0 = entry
-            n_keys = (ha.n - L0 + 1) + (hb.n - L0 + 1)
-            if batch and batch_keys + n_keys > _GATE_KEY_BUDGET:
-                run_slice(batch)
-                batch, batch_keys = [], 0
-            batch.append(entry)
-            batch_keys += n_keys
-        run_slice(batch)
-        return pd.Series(out)
-
+    lcs_containment._plain_batch = _batch  # test/bench hook, no Spark needed
     return lcs_containment
 
 

@@ -442,3 +442,50 @@ def test_cluster_profile_output_identical_to_default(spark):
     assert got_pairs == base_pairs
     # 1000-executor shape is structurally valid too (no pipeline run)
     assert PipelineConfig.cluster_profile().shuffle_partitions == 16000
+
+
+def test_lcs_hybrid_search_matches_per_pair_across_crossover():
+    """The r4 hybrid exact-LCS search (batched bisection below
+    _LCS_BATCH_SEARCH_MAX_BYTES combined size, per-pair numpy probes
+    above) must be bisection-identical to the pure per-pair search on a
+    batch that straddles the crossover, in both exact and gated modes."""
+    import numpy as np
+
+    from lsh_for_source_code_spark.operators import verify as V
+
+    rng = np.random.default_rng(13)
+    docs = [
+        "".join(rng.choice(list("abcd {};\n"), size=int(n)))
+        for n in np.concatenate(
+            [rng.integers(1, 70, 40), rng.integers(100, 900, 40)]
+        )
+    ]
+    ia, ib = rng.integers(0, 80, 400), rng.integers(0, 80, 400)
+    A = [docs[i] for i in ia]
+    B = [docs[i] for i in ib]
+    for mc in (None, 0.3, 0.8):
+        got = V.make_lcs_containment_udf(mc)._plain_batch(A, B)
+        ref = np.zeros(len(A))
+        hashers: dict = {}
+
+        def H(s):
+            if s not in hashers:
+                hashers[s] = V._RollingHasher(
+                    np.frombuffer(s.encode(), dtype=np.uint8)
+                )
+            return hashers[s]
+
+        for i, (a, b) in enumerate(zip(A, B)):
+            ha, hb = H(a), H(b)
+            m = min(ha.n, hb.n)
+            if m == 0:
+                continue
+            if mc is None:
+                ref[i] = V._lcs_len_from(ha, hb, 0, m) / m
+            else:
+                L0 = min(m, max(1, int(np.ceil(mc * m))))
+                if len(
+                    np.intersect1d(ha.window_keys(L0), hb.window_keys(L0))
+                ):
+                    ref[i] = V._lcs_len_from(ha, hb, L0, m) / m
+        assert np.allclose(got, ref), mc
