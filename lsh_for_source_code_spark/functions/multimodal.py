@@ -52,7 +52,7 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _decode_image(payload: bytes, width, height) -> np.ndarray:
+def _decode_image(payload: bytes, width, height, resize_to=None) -> np.ndarray:
     """PNG payloads are REALLY decoded (pure-stdlib zlib + numpy filter
     reconstruction, functions/png.py -- VERDICT r3 next#6) and featurized
     as a 4x4 block-mean luminance grid. Non-PNG formats (JPEG etc.) still
@@ -69,7 +69,12 @@ def _decode_image(payload: bytes, width, height) -> np.ndarray:
 
     if payload.startswith(PNG_MAGIC):
         try:
-            return pixel_feature(decode_png(payload), grid=4)
+            px = decode_png(payload)
+            if resize_to is not None:
+                from lsh_for_source_code_spark.functions.png import resize_image
+
+                px = resize_image(px, resize_to[0], resize_to[1])
+            return pixel_feature(px, grid=4)
         except NotImplementedError:
             pass  # interlaced/16-bit: digest fallback below
     # FALLBACK STUB for non-PNG codecs: deterministic digest 'embedding'
@@ -131,10 +136,14 @@ def _decode_video_frames(payload: bytes, duration_ms) -> np.ndarray:
     return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
 
 
-def extract_media_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+def extract_media_features(
+    media: DataFrame, batch_size: int = 256, resize_to: tuple | None = None
+) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch in, one feature row
     per media row out. Partitioning contract: upstream should
-    repartition(.., 'media_id') so payload bytes shuffle once at most."""
+    repartition(.., 'media_id') so payload bytes shuffle once at most.
+    resize_to=(h, w) bilinear-resizes decoded images before featurization
+    (the decode -> resize -> feature-extract pipeline shape); None skips."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -147,7 +156,7 @@ def extract_media_features(media: DataFrame, batch_size: int = 256) -> DataFrame
                 shas.append(hashlib.sha256(raw).hexdigest())
                 nbytes.append(len(raw))
                 if kind == "image":
-                    feats.append(_decode_image(raw, w, h))
+                    feats.append(_decode_image(raw, w, h, resize_to))
                 elif kind == "audio":
                     feats.append(_decode_audio_frames(raw, dur))
                 elif kind == "video":

@@ -153,3 +153,44 @@ def pixel_feature(px: np.ndarray, grid: int = 4) -> np.ndarray:
             cell = lum[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
             out[i * grid + j] = float(cell.mean()) / 255.0
     return out
+
+
+def resize_image(px: np.ndarray, out_h: int, out_w: int,
+                 mode: str = "bilinear") -> np.ndarray:
+    """(H, W, C) uint8 -> (out_h, out_w, C) uint8, pure numpy.
+
+    The resize stage of the multimodal pipeline (decode -> RESIZE ->
+    feature-extract): "bilinear" uses edge-aligned sample positions with
+    separable linear interpolation (the conventional align_corners=False
+    grid: output pixel center (i+0.5)/scale - 0.5); "nearest" snaps to the
+    closest source pixel center. Fully vectorized -- one gather + weighted
+    sum per axis -- so it runs inside the same Arrow batch loop as the
+    decoders with no per-pixel Python."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, _c = px.shape
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("resize target must be positive")
+
+    def _coords(n_out: int, n_in: int) -> np.ndarray:
+        return (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+
+    if mode == "nearest":
+        yi = np.clip(np.round(_coords(out_h, h)), 0, h - 1).astype(np.int64)
+        xi = np.clip(np.round(_coords(out_w, w)), 0, w - 1).astype(np.int64)
+        return px[yi][:, xi]
+    if mode != "bilinear":
+        raise ValueError(f"unknown resize mode {mode!r}")
+    fy = np.clip(_coords(out_h, h), 0, h - 1)
+    fx = np.clip(_coords(out_w, w), 0, w - 1)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

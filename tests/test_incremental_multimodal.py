@@ -401,3 +401,59 @@ def test_media_features_use_real_wav_and_y4m(spark):
     assert len(rows[3].feature) == 16  # 4 frames x 2x2 luminance grid
     assert rows[1].feature != rows[3].feature
     assert len(rows[5].feature) == 32  # digest fallback path, marked stub
+
+
+def test_resize_image_math_and_modes():
+    """Bilinear and nearest resize: identity at the source size, constancy
+    preservation, pixel replication on 2x nearest upsample, and an exact
+    hand-computed bilinear midpoint (edge-aligned grid: 1x4 [0,100,200,255]
+    downsampled to 1x2 samples at source x=0.5 and x=2.5 -> 50, 228)."""
+    from lsh_for_source_code_spark.functions.png import resize_image
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert (resize_image(px, 7, 5, "bilinear") == px).all()
+    assert (resize_image(px, 7, 5, "nearest") == px).all()
+    c = np.full((4, 4, 1), 77, dtype=np.uint8)
+    assert (resize_image(c, 9, 3, "bilinear") == 77).all()
+    up = resize_image(px, 14, 10, "nearest")
+    assert (up[::2, ::2] == px).all() and (up[1::2, 1::2] == px).all()
+    g = np.array([[[0], [100], [200], [255]]], dtype=np.uint8)
+    assert resize_image(g, 1, 2, "bilinear").ravel().tolist() == [50, 228]
+    import pytest
+
+    with pytest.raises(ValueError):
+        resize_image(px, 0, 5)
+    with pytest.raises(ValueError):
+        resize_image(px, 4, 4, "bicubic")
+
+
+def test_media_features_with_resize_stage(spark):
+    """decode -> resize -> feature-extract through the Spark channel:
+    features of a PNG with resize_to must equal pixel_feature of the
+    numpy-resized decoded pixels."""
+    from lsh_for_source_code_spark.functions.png import (
+        decode_png,
+        pixel_feature,
+        resize_image,
+    )
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    png = _encode_png(px, filters=[2] * 16)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1],
+                "kind": ["image"],
+                "mime": ["image/png"],
+                "payload": [png],
+                "width": [12],
+                "height": [16],
+                "duration_ms": [None],
+            }
+        )
+    )
+    row = extract_media_features(media, resize_to=(8, 8)).collect()[0]
+    expected = pixel_feature(resize_image(decode_png(png), 8, 8), grid=4)
+    assert np.allclose(row.feature, expected, atol=1e-6)
