@@ -808,6 +808,67 @@ def _cosine_dups_oracle_sql() -> str:
     """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprints (Schleimer et al., SIGMOD'03) per
+    document: (doc_id, pos, fp). The Spark side runs the vectorized numpy
+    kernel (functions/winnow.py); the DuckDB oracle implements the same
+    definition independently in SQL (code points -> exact-int64 k-gram
+    polynomial -> per-window rightmost minimum), so the kernel is
+    cross-validated engine-against-engine, bit-for-bit."""
+    from lsh_for_source_code_spark.functions.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_read(spark, sf_dir, "documents"))
+
+
+def q_winnow_overlap_pairs(spark, sf_dir):
+    """Document pairs sharing >= 2 winnowed fingerprints via an
+    inverted-index self-join with a doc-frequency stoplist (the paper's
+    'too common' remedy; posting lists stay bounded at any corpus size)."""
+    from lsh_for_source_code_spark.functions.winnow import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_read(spark, sf_dir, "documents"))
+
+
+#: shared CTE chain: winnowing per the SIGMOD'03 definition in pure SQL.
+#: k=5, w=8, B=263 (exact int64, no modulus -- both engines bit-agree);
+#: windows of 8 k-gram hashes (whole doc if fewer), rightmost minimum.
+_WINNOW_SQL_CTES = """
+        WITH d AS (
+          SELECT doc_id,
+                 list_transform(regexp_extract_all(coalesce(text, ''), '(?s).'),
+                                c -> unicode(c)::BIGINT) AS codes
+          FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(range(1, greatest(len(codes) - 3, 1))) AS i,
+                 codes
+          FROM d
+        ), h AS (
+          SELECT doc_id, i - 1 AS pos,
+                 codes[i]*4784350561 + codes[i+1]*18191447 + codes[i+2]*69169
+                   + codes[i+3]*263 + codes[i+4] AS fp
+          FROM g
+        ), nh AS (
+          SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id
+        ), wins AS (
+          SELECT doc_id, unnest(range(0, greatest(n - 8, 0) + 1)) AS ws FROM nh
+        ), joined AS (
+          SELECT w.doc_id, w.ws, h.pos, h.fp
+          FROM wins w JOIN h ON h.doc_id = w.doc_id
+           AND h.pos >= w.ws AND h.pos < w.ws + 8
+        ), wmin AS (
+          SELECT doc_id, ws, min(fp) AS mn FROM joined GROUP BY 1, 2
+        ), sel AS (
+          SELECT j.doc_id, j.ws, max(j.pos) AS pos
+          FROM joined j JOIN wmin m
+            ON m.doc_id = j.doc_id AND m.ws = j.ws AND j.fp = m.mn
+          GROUP BY 1, 2
+        ), fps AS (
+          SELECT DISTINCT s.doc_id, s.pos, h.fp
+          FROM sel s JOIN h ON h.doc_id = s.doc_id AND h.pos = s.pos
+        )
+"""
+
+
 QUERIES = {
     "content_sha": q_content_sha,
     "exact_dup_groups": q_exact_dup_groups,
@@ -840,6 +901,8 @@ QUERIES = {
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ann_recall": q_embedding_ann_recall,
     "embedding_cosine_dups": q_embedding_cosine_dups,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -1147,4 +1210,21 @@ ORACLE = {
     """,
     "embedding_ann_recall": _ann_recall_oracle_sql(),
     "embedding_cosine_dups": _cosine_dups_oracle_sql(),
+    "winnow_fingerprints": _WINNOW_SQL_CTES
+    + """
+        SELECT doc_id, pos, fp FROM fps
+    """,
+    "winnow_overlap_pairs": _WINNOW_SQL_CTES
+    + """
+        , rare AS (
+          SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM fps)
+          GROUP BY fp HAVING count(*) <= 50
+        ), fpr AS (
+          SELECT DISTINCT f.doc_id, f.fp
+          FROM fps f JOIN rare r ON r.fp = f.fp
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
 }

@@ -197,3 +197,59 @@ def test_minhash_concat_matches_per_doc_naive(docs, num_perm, seed):
                 dtype=np.uint64,
             )
         assert np.array_equal(got[i], expect), i
+
+
+# ---------------------------------------------------------------- Winnowing
+
+
+def _winnow_brute(text: str, k: int, w: int, base: int):
+    """Literal transcription of the SIGMOD'03 definition: python ints,
+    explicit window loop, rightmost-min scan."""
+    codes = [ord(c) for c in text]
+    n = len(codes)
+    if n < k:
+        return set()
+    h = [
+        sum(codes[i + j] * base ** (k - 1 - j) for j in range(k))
+        for i in range(n - k + 1)
+    ]
+    nh = len(h)
+    sel = set()
+    for ws in range(max(nh - w, 0) + 1):
+        window = h[ws : ws + w]
+        mn = min(window)
+        pos = ws + max(i for i, v in enumerate(window) if v == mn)
+        sel.add((pos, h[pos]))
+    return sel
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    text=st.text(alphabet="abcX {}\n;", max_size=120),
+    k=st.integers(min_value=2, max_value=6),
+    w=st.integers(min_value=1, max_value=9),
+)
+def test_winnow_matches_brute_force(text, k, w):
+    """The vectorized winnowing kernel equals the literal per-window
+    definition for arbitrary text and (k, w)."""
+    from lsh_for_source_code_spark.functions.winnow import winnow_doc
+
+    pos, fp = winnow_doc(text, k=k, w=w)
+    assert set(zip(pos.tolist(), fp.tolist())) == _winnow_brute(text, k, w, 263)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    prefix_a=st.text(alphabet="ab", max_size=30),
+    prefix_b=st.text(alphabet="cd", max_size=30),
+    shared=st.text(alphabet="xyz{};", min_size=12, max_size=40),
+)
+def test_winnow_guarantee_shared_substring(prefix_a, prefix_b, shared):
+    """SIGMOD'03 guarantee: two documents sharing a substring of length
+    >= w + k - 1 share at least one fingerprint HASH (k=5, w=8 ->
+    threshold 12; `shared` is always at least that long)."""
+    from lsh_for_source_code_spark.functions.winnow import winnow_doc
+
+    _, fa = winnow_doc(prefix_a + shared)
+    _, fb = winnow_doc(prefix_b + shared)
+    assert set(fa.tolist()) & set(fb.tolist())

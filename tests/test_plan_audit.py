@@ -32,6 +32,7 @@ _AUDITED = [
     "ngram_jaccard_pairs",
     "simhash_hamming_pairs",
     "embedding_cosine_dups",
+    "winnow_overlap_pairs",
     "embedding_topk",
     "broadcast_dim_join",
     "top_customer_per_nation",
