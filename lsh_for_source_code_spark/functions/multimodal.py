@@ -2,12 +2,13 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata; the
 Spark-side contract (schemas, Arrow batch shapes, mapInPandas partitioning)
-is real and tested. Decoding is REAL for the uncompressed/pure-stdlib
-formats -- PNG (functions/png.py), WAV (functions/wav.py), Y4M
-(functions/y4m.py) -- and falls back to a clearly-marked deterministic
-digest feature for compressed codecs (JPEG/MP3/MP4 ...) whose libraries
-(PIL/ffmpeg) are not in this container; each fallback is isolated behind
-`_decode_*` so swapping in a real codec changes no Spark plumbing.
+is real and tested. Decoding is REAL for the pure-stdlib-decodable
+formats -- PNG (functions/png.py), baseline JPEG (functions/jpeg.py),
+WAV (functions/wav.py), Y4M (functions/y4m.py) -- and falls back to a
+clearly-marked deterministic digest feature for codecs that genuinely
+need libraries this container lacks (MP3/AAC, MP4/WebM, WebP/AVIF,
+progressive JPEG); each fallback is isolated behind `_decode_*` so
+swapping in a codec changes no Spark plumbing.
 """
 
 from __future__ import annotations
@@ -53,30 +54,39 @@ FEATURE_SCHEMA = StructType(
 
 
 def _decode_image(payload: bytes, width, height, resize_to=None) -> np.ndarray:
-    """PNG payloads are REALLY decoded (pure-stdlib zlib + numpy filter
-    reconstruction, functions/png.py -- VERDICT r3 next#6) and featurized
-    as a 4x4 block-mean luminance grid. Non-PNG formats (JPEG etc.) still
-    need a codec library this container lacks, so they fall back to the
-    clearly-marked deterministic digest feature -- swapping in a real codec
-    changes no Spark plumbing."""
+    """PNG and baseline JPEG payloads are REALLY decoded (pure-stdlib zlib
+    + numpy filter reconstruction in functions/png.py; T.81 baseline
+    Huffman + vectorized IDCT in functions/jpeg.py) and featurized as a
+    4x4 block-mean luminance grid. Remaining formats (WebP/TIFF/AVIF,
+    progressive JPEG) still need a codec library this container lacks, so
+    they fall back to the clearly-marked deterministic digest feature --
+    swapping in a real codec changes no Spark plumbing."""
     if payload is None:
         raise NotImplementedError("image decode requires a codec library")
+    from lsh_for_source_code_spark.functions.jpeg import JPEG_MAGIC, decode_jpeg
     from lsh_for_source_code_spark.functions.png import (
         PNG_MAGIC,
         decode_png,
         pixel_feature,
     )
 
+    px = None
     if payload.startswith(PNG_MAGIC):
         try:
             px = decode_png(payload)
-            if resize_to is not None:
-                from lsh_for_source_code_spark.functions.png import resize_image
-
-                px = resize_image(px, resize_to[0], resize_to[1])
-            return pixel_feature(px, grid=4)
         except NotImplementedError:
             pass  # interlaced/16-bit: digest fallback below
+    elif payload.startswith(JPEG_MAGIC):
+        try:
+            px = decode_jpeg(payload)
+        except NotImplementedError:
+            pass  # progressive/arithmetic/CMYK: digest fallback below
+    if px is not None:
+        if resize_to is not None:
+            from lsh_for_source_code_spark.functions.png import resize_image
+
+            px = resize_image(px, resize_to[0], resize_to[1])
+        return pixel_feature(px, grid=4)
     # FALLBACK STUB for non-PNG codecs: deterministic digest 'embedding'
     digest = hashlib.blake2b(payload, digest_size=64).digest()
     return (

@@ -253,3 +253,33 @@ def test_winnow_guarantee_shared_substring(prefix_a, prefix_b, shared):
     _, fa = winnow_doc(prefix_a + shared)
     _, fb = winnow_doc(prefix_b + shared)
     assert set(fa.tolist()) & set(fb.tolist())
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    gray=st.booleans(),
+    sub=st.sampled_from(["444", "420"]),
+    ri=st.sampled_from([0, 3]),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_q100_error_analytically_bounded(h, w, gray, sub, ri, seed):
+    """At quality 100 every quantization step is 1, so per-coefficient
+    rounding error is <= 0.5 and the IDCT amplifies a block's worst case to
+    at most 64 * 0.5 * 0.5 * 0.5 = 8 luminance levels (orthonormal basis
+    entries are <= 0.5); color conversion and 4:2:0 chroma box-mean widen
+    that, but grayscale must honor the analytic bound for ANY image --
+    including pure noise -- at any geometry, with or without restarts."""
+    from lsh_for_source_code_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    shape = (h, w) if gray else (h, w, 3)
+    px = np.random.default_rng(seed).integers(0, 256, size=shape, dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(px, quality=100, subsampling=sub, restart_interval=ri))
+    assert got.shape == (h, w, 1 if gray else 3)
+    if gray:
+        err = np.abs(got[:, :, 0].astype(int) - px.astype(int)).max()
+        assert err <= 9  # 8 + final-round half-ulp

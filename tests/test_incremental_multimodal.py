@@ -457,3 +457,114 @@ def test_media_features_with_resize_stage(spark):
     row = extract_media_features(media, resize_to=(8, 8)).collect()[0]
     expected = pixel_feature(resize_image(decode_png(png), 8, 8), grid=4)
     assert np.allclose(row.feature, expected, atol=1e-6)
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def test_jpeg_roundtrip_quant_bounded():
+    """Baseline JPEG roundtrip error must stay inside the quantization
+    budget: constant blocks reconstruct exactly (DC-only), smooth gradients
+    at quality 95 within +-2, and a 4:2:0 constant-color image exactly
+    (chroma box-mean of a constant is the constant)."""
+    from lsh_for_source_code_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    const = np.full((16, 24), 130, dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(const, quality=90))
+    assert got.shape == (16, 24, 1)
+    assert np.abs(got[:, :, 0].astype(int) - 130).max() <= 1
+
+    grad = np.linspace(0, 255, 37 * 53).reshape(37, 53).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(grad, quality=95))
+    assert got.shape == (37, 53, 1)
+    assert np.abs(got[:, :, 0].astype(int) - grad.astype(int)).max() <= 2
+
+    cc = np.full((20, 20, 3), [200, 50, 90], dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(cc, quality=90, subsampling="420"))
+    assert got.shape == (20, 20, 3)
+    assert np.abs(got.astype(int) - cc.astype(int)).max() <= 1
+
+
+def test_jpeg_subsampling_and_restart_markers():
+    """4:2:0 odd-dimension images decode at full size, and restart markers
+    (DRI + RSTn, predictor reset + bit realign) must not change a single
+    pixel vs the same image coded without restarts -- the quantized
+    coefficients are identical either way."""
+    from lsh_for_source_code_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:45, 0:51]
+    px = np.stack(
+        [(y * 3) % 256, (x * 5) % 256, ((x + y) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(px, quality=92, subsampling="420"))
+    assert plain.shape == (45, 51, 3)
+    for ri in (1, 2, 5):
+        with_rst = decode_jpeg(
+            encode_jpeg(px, quality=92, subsampling="420", restart_interval=ri)
+        )
+        assert np.array_equal(plain, with_rst)
+    # 4:4:4 and 4:2:0 of a smooth image agree closely (chroma is smooth)
+    smooth = np.stack([y * 2, y * 2, y * 2], axis=-1).astype(np.uint8)
+    f444 = decode_jpeg(encode_jpeg(smooth, quality=95, subsampling="444"))
+    f420 = decode_jpeg(encode_jpeg(smooth, quality=95, subsampling="420"))
+    assert np.abs(f444.astype(int) - f420.astype(int)).max() <= 4
+
+
+def test_jpeg_rejects_unsupported():
+    """Corrupt input -> ValueError; valid-but-unsupported (progressive
+    SOF2) -> NotImplementedError so the channel digest-falls-back."""
+    import struct
+
+    import pytest
+
+    from lsh_for_source_code_spark.functions.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof2)
+
+
+def test_media_features_use_real_jpeg_pixels(spark):
+    """End-to-end through the Spark mapInPandas channel: two byte-wise
+    DIFFERENT encodings of the same image (restart-interval choice) must
+    featurize identically -- impossible for a digest-of-bytes stub -- and
+    the feature must match pixel_feature of the decoded pixels, which sits
+    near the original image's feature (quantization-bounded)."""
+    from lsh_for_source_code_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from lsh_for_source_code_spark.functions.png import pixel_feature
+
+    y, x = np.mgrid[0:24, 0:32]
+    px = np.stack(
+        [(y * 7) % 256, (x * 3) % 256, ((x * y) // 2) % 256], axis=-1
+    ).astype(np.uint8)
+    jpg_a = encode_jpeg(px, quality=95, subsampling="444")
+    jpg_b = encode_jpeg(px, quality=95, subsampling="444", restart_interval=1)
+    assert jpg_a != jpg_b  # different bytes, same quantized coefficients
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "kind": ["image", "image"],
+                "mime": ["image/jpeg"] * 2,
+                "payload": [jpg_a, jpg_b],
+                "width": [32, 32],
+                "height": [24, 24],
+                "duration_ms": [None, None],
+            }
+        )
+    )
+    rows = {r.media_id: r for r in extract_media_features(media).collect()}
+    decoded = pixel_feature(decode_jpeg(jpg_a), grid=4)
+    assert np.allclose(rows[1].feature, decoded, atol=1e-6)
+    assert np.allclose(rows[2].feature, decoded, atol=1e-6)
+    # decoded-pixel feature tracks the original pixels, not a digest
+    assert np.abs(np.asarray(rows[1].feature) - pixel_feature(px, grid=4)).max() < 0.02
