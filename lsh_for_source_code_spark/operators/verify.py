@@ -383,7 +383,9 @@ def _batched_lcs_search(entries: list) -> dict[int, int]:
     return result
 
 
-def make_lcs_containment_udf(min_containment: float | None = None):
+def make_lcs_containment_udf(
+    min_containment: float | None = None, impl: str = "hash"
+):
     """Longest-common-substring containment: lcs_len / min(len_a, len_b).
 
     Suffix-structure channel for containment dups (north_star; no reference
@@ -408,9 +410,43 @@ def make_lcs_containment_udf(min_containment: float | None = None):
     _shared_window_hits lexsort per bisection round (<= log2(max doc len)
     rounds per Arrow batch) instead of a per-pair Python loop of
     np.intersect1d probes; hub docs' window keys are memoized per round.
-    Result is bisection-identical to the per-pair search."""
+    Result is bisection-identical to the per-pair search.
+
+    impl="suffix_array" switches to the DETERMINISTIC exact path
+    (functions/suffix.py: prefix-doubling suffix array + Kasai LCP over
+    the separator-joined pair) -- the north-star's "suffix-array-based"
+    check with zero hash-collision probability. Measured ~2.5x slower
+    than the hash bisection at 8KB docs, so the Monte-Carlo hash path
+    (collision odds ~2^-62 per probe) stays the default; the gate probe
+    is skipped under this impl because the gate itself is hash-based."""
+    if impl not in ("hash", "suffix_array"):
+        raise ValueError(f"unknown LCS impl {impl!r}")
+
+    def _sa_batch(content_a, content_b) -> np.ndarray:
+        from lsh_for_source_code_spark.functions.suffix import lcs_len_suffix_array
+
+        out = np.zeros(len(content_a), dtype=np.float64)
+        codes: dict[str, np.ndarray] = {}
+
+        def of(s: str) -> np.ndarray:
+            c = codes.get(s)
+            if c is None:
+                c = codes[s] = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            return c
+
+        for i, (a, b) in enumerate(zip(content_a, content_b)):
+            if not a or not b:
+                continue
+            ca, cb = of(a), of(b)
+            m = min(len(ca), len(cb))
+            if m == 0:
+                continue
+            out[i] = lcs_len_suffix_array(ca, cb) / m
+        return out
 
     def _batch(content_a, content_b) -> np.ndarray:
+        if impl == "suffix_array":
+            return _sa_batch(content_a, content_b)
         out = np.zeros(len(content_a), dtype=np.float64)
         hashers: dict[str, "_RollingHasher"] = {}
 
@@ -702,12 +738,14 @@ def verify_pairs(
 def add_lcs_containment(
     pairs: DataFrame, files: DataFrame, id_col: str = "file_id",
     content_col: str = "content", min_containment: float | None = None,
+    impl: str = "hash",
 ) -> DataFrame:
     """Containment channel: join content back (only for the surviving pairs
     -- a tiny fraction of the corpus) and score LCS containment. Pass the
     downstream filter threshold as `min_containment` to enable the cheap
-    gate probe (see make_lcs_containment_udf)."""
-    udf = make_lcs_containment_udf(min_containment)
+    gate probe; impl="suffix_array" selects the certified-exact suffix-
+    array path (see make_lcs_containment_udf)."""
+    udf = make_lcs_containment_udf(min_containment, impl=impl)
     c = files.select(F.col(id_col).alias("fid"), F.col(content_col).alias("c"))
     a = c.select(F.col("fid").alias("id_a"), F.col("c").alias("content_a"))
     b = c.select(F.col("fid").alias("id_b"), F.col("c").alias("content_b"))

@@ -283,3 +283,64 @@ def test_jpeg_q100_error_analytically_bounded(h, w, gray, sub, ri, seed):
     if gray:
         err = np.abs(got[:, :, 0].astype(int) - px.astype(int)).max()
         assert err <= 9  # 8 + final-round half-ulp
+
+
+# ------------------------------------------------------------ suffix array
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    n=st.integers(min_value=1, max_value=50),
+    alpha=st.integers(min_value=1, max_value=5),
+)
+def test_suffix_array_matches_naive_sort(seed, n, alpha):
+    """Prefix-doubling SA must equal the naively sorted suffix order for
+    any sequence, including heavy-repeat low-alphabet inputs where the
+    doubling re-rank is most stressed."""
+    from lsh_for_source_code_spark.functions.suffix import suffix_array
+
+    s = np.random.default_rng(seed).integers(0, alpha, n)
+    sa = suffix_array(s)
+    naive = sorted(range(n), key=lambda i: tuple(s[i:]))
+    assert list(sa) == naive
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    a=st.text(alphabet="abAB \n{};", max_size=60),
+    b=st.text(alphabet="abAB \n{};", max_size=60),
+)
+def test_lcs_suffix_array_matches_dp_and_hash(a, b):
+    """The certified-exact suffix-array LCS must equal the quadratic DP
+    oracle AND the production rolling-hash bisection on the same pair --
+    the deterministic cross-check for the Monte-Carlo channel."""
+    from lsh_for_source_code_spark.functions.suffix import lcs_len_suffix_array
+    from lsh_for_source_code_spark.operators.verify import _lcs_len
+
+    ca = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+    cb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+    want = _lcs_dp(a.encode("utf-8").decode("latin-1"), b.encode("utf-8").decode("latin-1"))
+    assert lcs_len_suffix_array(ca, cb) == want
+    assert _lcs_len(ca, cb) == want
+
+
+def test_lcs_udf_impls_agree():
+    """make_lcs_containment_udf(impl="suffix_array") must score every pair
+    identically to the default hash path (plain-batch hook, no Spark)."""
+    from lsh_for_source_code_spark.operators.verify import make_lcs_containment_udf
+
+    rng = np.random.default_rng(11)
+    pairs_a, pairs_b = [], []
+    for _ in range(25):
+        base = "".join(chr(c) for c in rng.integers(97, 107, rng.integers(5, 200)))
+        tail = "".join(chr(c) for c in rng.integers(97, 107, rng.integers(0, 120)))
+        pairs_a.append(base + tail)
+        pairs_b.append(tail + base[: rng.integers(0, len(base) + 1)])
+    pairs_a += ["", "abc"]
+    pairs_b += ["xyz", ""]
+    hash_scores = make_lcs_containment_udf(None)._plain_batch(pairs_a, pairs_b)
+    sa_scores = make_lcs_containment_udf(None, impl="suffix_array")._plain_batch(
+        pairs_a, pairs_b
+    )
+    assert np.allclose(hash_scores, sa_scores, atol=0)
