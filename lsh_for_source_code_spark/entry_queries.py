@@ -829,6 +829,53 @@ def q_winnow_overlap_pairs(spark, sf_dir):
     return winnow_overlap_pairs(_read(spark, sf_dir, "documents"))
 
 
+_LCS_SUBSET_MAX_ID = 12  # fixed 66-pair doc subset: scale-invariant cost
+_LCS_PREFIX_CHARS = 160  # prefix-LCS bounds the oracle's substring explosion
+
+
+def q_lcs_containment_pairs(spark, sf_dir):
+    """Certified-exact suffix-array LCS (functions/suffix.py: prefix-
+    doubling SA + Kasai LCP -- the north-star's 'suffix-array-based'
+    containment check) on every pair of a fixed 12-doc subset over each
+    document's first 160 chars: (id_a, id_b, lcs_len). The DuckDB oracle
+    reproduces the definition independently by exploding ALL distinct
+    substrings of both sides and taking the longest shared one -- a
+    definitionally different algorithm, so agreement certifies the SA/LCP
+    implementation end-to-end. The pair set is a broadcast self-join of a
+    12-row dimension: bounded at any corpus scale."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def lcs_len_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        from lsh_for_source_code_spark.functions.suffix import lcs_len_suffix_array
+
+        out = np.zeros(len(a), dtype=np.int64)
+        for i, (x, y) in enumerate(zip(a, b)):
+            # code points, not bytes: matches SQL character semantics
+            ca = np.fromiter((ord(c) for c in (x or "")), dtype=np.int64)
+            cb = np.fromiter((ord(c) for c in (y or "")), dtype=np.int64)
+            out[i] = lcs_len_suffix_array(ca, cb)
+        return pd.Series(out)
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _LCS_SUBSET_MAX_ID)
+        .select(
+            "doc_id",
+            F.substring(
+                F.coalesce("text", F.lit("")), 1, _LCS_PREFIX_CHARS
+            ).alias("t"),
+        )
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", lcs_len_udf("ta", "tb").alias("lcs_len")
+    )
+
+
 #: shared CTE chain: winnowing per the SIGMOD'03 definition in pure SQL.
 #: k=5, w=8, B=263 (exact int64, no modulus -- both engines bit-agree);
 #: windows of 8 k-gram hashes (whole doc if fewer), rightmost minimum.
@@ -903,6 +950,7 @@ QUERIES = {
     "embedding_cosine_dups": q_embedding_cosine_dups,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
+    "lcs_containment_pairs": q_lcs_containment_pairs,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -1226,5 +1274,29 @@ ORACLE = {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+    # independent LCS definition: explode every distinct substring of both
+    # sides, longest shared one wins -- certifies the SA/LCP path
+    "lcs_containment_pairs": f"""
+        WITH d AS (
+          SELECT doc_id, substr(coalesce(text, ''), 1, {_LCS_PREFIX_CHARS}) AS t
+          FROM documents WHERE doc_id < {_LCS_SUBSET_MAX_ID}
+        ), nums AS (
+          SELECT unnest(range(1, {_LCS_PREFIX_CHARS} + 1)) AS n
+        ), subs AS (
+          SELECT DISTINCT d.doc_id, substr(d.t, s.n::INT, l.n::INT) AS sub
+          FROM d
+          JOIN nums s ON s.n <= length(d.t)
+          JOIN nums l ON s.n + l.n - 1 <= length(d.t)
+        ), common AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                 max(length(x.sub)) AS lcs
+          FROM subs x JOIN subs y ON x.sub = y.sub AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               coalesce(c.lcs, 0) AS lcs_len
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        LEFT JOIN common c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
     """,
 }

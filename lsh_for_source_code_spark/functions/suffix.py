@@ -77,19 +77,21 @@ def lcp_kasai(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
 
 
 def lcs_len_suffix_array(a: np.ndarray, b: np.ndarray) -> int:
-    """Exact longest-common-substring length of two uint8/int sequences:
-    SA + LCP over the separator-joined concatenation, maximized over
-    adjacent suffix pairs owned by different sides. Separators (256, 257)
-    sit outside the byte alphabet, so no common prefix can cross them."""
+    """Exact longest-common-substring length of two non-negative integer
+    sequences (bytes or full Unicode code points): SA + LCP over the
+    separator-joined concatenation, maximized over adjacent suffix pairs
+    owned by different sides. Separators (-1, -2) sit below any code
+    point and each occurs exactly once, so no common prefix between two
+    DISTINCT suffixes can cross them."""
     na, nb = len(a), len(b)
     if na == 0 or nb == 0:
         return 0
     s = np.concatenate(
         [
             np.asarray(a, dtype=np.int64),
-            np.asarray([256], dtype=np.int64),
+            np.asarray([-1], dtype=np.int64),
             np.asarray(b, dtype=np.int64),
-            np.asarray([257], dtype=np.int64),
+            np.asarray([-2], dtype=np.int64),
         ]
     )
     sa = suffix_array(s)
