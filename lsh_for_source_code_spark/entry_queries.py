@@ -829,6 +829,95 @@ def q_winnow_overlap_pairs(spark, sf_dir):
     return winnow_overlap_pairs(_read(spark, sf_dir, "documents"))
 
 
+_MEDIA_SUBSET_MAX_ID = 24  # fixed media-synthesis subset: scale-invariant
+
+
+def q_media_features(spark, sf_dir):
+    """Driver-visible multimodal channel: synthesize deterministic REAL
+    media payloads (baseline JPEG via functions/jpeg.py, RIFF/PCM WAV,
+    YUV4MPEG2) from a fixed 24-doc subset of `documents`, then run the
+    production mapInPandas decode -> feature pipeline
+    (functions/multimodal.extract_media_features) on them. Every payload
+    goes through a REAL codec -- encode on one side of the Arrow batch,
+    the channel's own decoder on the other -- so this exercises the same
+    code path a user's parquet-of-binary media table takes. Rows-only by
+    design (a SQL oracle cannot run a JPEG entropy decoder); the codecs
+    themselves are DP/roundtrip/property-tested in pytest."""
+    import struct
+
+    from lsh_for_source_code_spark.functions.jpeg import encode_jpeg
+    from lsh_for_source_code_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                kind = ("image", "audio", "video")[doc_id % 3]
+                if kind == "image":
+                    i = np.arange(16)[:, None]
+                    j = np.arange(16)[None, :]
+                    px = ((i * 16 + j) * 3 + n_chars).astype(np.int64) % 256
+                    payload = encode_jpeg(px.astype(np.uint8), quality=95)
+                    w = h = 16
+                    dur = None
+                elif kind == "audio":
+                    t = np.arange(800, dtype=np.float64)
+                    freq = 100.0 + (doc_id % 7) * 50.0 + (n_chars % 10)
+                    x = np.sin(2 * np.pi * freq * t / 8000.0)
+                    pcm = np.round(x * 32000).astype("<i2").tobytes()
+                    payload = (
+                        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                                16000, 2, 16)
+                        + b"data" + struct.pack("<I", len(pcm)) + pcm
+                    )
+                    w = h = None
+                    dur = 100
+                else:
+                    frames = []
+                    for f in range(3):
+                        i = np.arange(16)[:, None]
+                        j = np.arange(16)[None, :]
+                        y = ((i + j * 2 + f * 11 + n_chars) % 256).astype(
+                            np.uint8
+                        )
+                        u = np.full((8, 8), 128, dtype=np.uint8)
+                        frames.append(
+                            b"FRAME\n" + y.tobytes() + u.tobytes() + u.tobytes()
+                        )
+                    payload = (
+                        b"YUV4MPEG2 W16 H16 F25:1 Ip A1:1 C420jpeg\n"
+                        + b"".join(frames)
+                    )
+                    w = h = 16
+                    dur = 120
+                rows.append((doc_id, kind, f"synth/{kind}", payload, w, h, dur))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _MEDIA_SUBSET_MAX_ID)
+        .select("doc_id", F.length(F.coalesce("text", F.lit(""))).alias("n_chars"))
+    )
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_sha",
+        "n_bytes",
+        F.transform("feature", lambda x: F.round(x.cast("double"), 5)).alias(
+            "feature"
+        ),
+    )
+
+
 _LCS_SUBSET_MAX_ID = 12  # fixed 66-pair doc subset: scale-invariant cost
 _LCS_PREFIX_CHARS = 160  # prefix-LCS bounds the oracle's substring explosion
 
@@ -951,6 +1040,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "lcs_containment_pairs": q_lcs_containment_pairs,
+    "media_features": q_media_features,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
