@@ -829,6 +829,34 @@ def q_winnow_overlap_pairs(spark, sf_dir):
     return winnow_overlap_pairs(_read(spark, sf_dir, "documents"))
 
 
+def q_simhash_winnow(spark, sf_dir):
+    """SimHash fingerprint over each document's winnowed MOSS fingerprints
+    (doc_id, simhash16): bit b of the 16-bit sketch is 1 iff the sum of
+    +-1 votes from bit b of every winnowed fp is positive. Both engines
+    compute this with pure bit arithmetic over the SAME exact-int64 fp set
+    the oracle-matched winnow_fingerprints query certifies -- so the
+    SimHash AGGREGATION definition itself becomes driver-visible,
+    oracle-checked evidence (the production token-level simhash channel
+    shares this vote-and-threshold rule; its xxhash64 token hashes are
+    JVM-only, hence rows-only there). 100% JVM expressions on the Spark
+    side: groupBy doc_id with 16 conditional sums, no UDF, map-side
+    partial aggregation applies."""
+    from lsh_for_source_code_spark.functions.winnow import winnow_fingerprints
+
+    fps = winnow_fingerprints(_read(spark, sf_dir, "documents"))
+    bit_sums = [
+        F.sum(
+            F.shiftright(F.col("fp"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = fps.groupBy("doc_id").agg(*bit_sums)
+    sim = F.lit(0)
+    for b in range(16):
+        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return agg.select("doc_id", sim.cast("long").alias("simhash16"))
+
+
 _MEDIA_SUBSET_MAX_ID = 24  # fixed media-synthesis subset: scale-invariant
 
 
@@ -1041,6 +1069,7 @@ QUERIES = {
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "lcs_containment_pairs": q_lcs_containment_pairs,
     "media_features": q_media_features,
+    "simhash_winnow": q_simhash_winnow,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -1388,5 +1417,19 @@ ORACLE = {
                coalesce(c.lcs, 0) AS lcs_len
         FROM d a JOIN d b ON a.doc_id < b.doc_id
         LEFT JOIN common c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+    """,
+    # simhash vote-and-threshold over the certified winnow fp set --
+    # same bit arithmetic, independently expressed
+    "simhash_winnow": _WINNOW_SQL_CTES
+    + """
+        , bits AS (
+          SELECT doc_id, unnest(range(0, 16)) AS b, fp FROM fps
+        ), sums AS (
+          SELECT doc_id, b, sum(2 * ((fp >> b) & 1) - 1) AS s
+          FROM bits GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END)::BIGINT AS simhash16
+        FROM sums GROUP BY doc_id
     """,
 }
