@@ -40,6 +40,9 @@ _AUDITED = [
     "token_counts",
     "events_hourly",
     "exact_dup_groups",
+    "lcs_containment_pairs",
+    "simhash_winnow",
+    "media_features",
 ]
 
 
@@ -57,6 +60,10 @@ def test_no_cartesian_product(spark, name):
     p = _plan(spark, QUERIES[name](spark, SF_DIR))
     assert "CartesianProduct" not in p, name
     if name == "embedding_topk":
+        assert "BroadcastNestedLoopJoin" in p
+    if name == "lcs_containment_pairs":
+        # bounded 12-row pair dim: non-equi join must broadcast, never
+        # cartesian-shuffle
         assert "BroadcastNestedLoopJoin" in p
 
 
@@ -100,6 +107,11 @@ def test_partial_aggregation_before_exchange(spark):
     p = _plan(spark, QUERIES["agg_lineitem"](spark, SF_DIR), "simple")
     ex = p.index("Exchange")
     assert "partial_sum" in p[ex:], "no map-side combine below the exchange"
+    # the 16-bit-sum simhash aggregation must combine map-side too: its
+    # input is one row per winnowed fingerprint, its output one per doc
+    p = _plan(spark, QUERIES["simhash_winnow"](spark, SF_DIR), "simple")
+    ex = p.index("Exchange")
+    assert "partial_sum" in p[ex:], "simhash_winnow shuffles raw fp rows"
 
 
 def test_hot_aggregation_stays_in_codegen(spark):
