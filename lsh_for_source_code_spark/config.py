@@ -174,6 +174,19 @@ class PipelineConfig:
     # into exact verification (never loses any).
 
     # --- execution ---
+    checkpoint_buckets: int | None = None
+    # OPT-IN bucketed checkpoint for the shingled-features stage (the
+    # brief's "bucketing for co-located joins"): files_shingled is written
+    # `bucketBy(n, file_id)` as an external datasource table, so BOTH
+    # verify feature joins (side a and side b each rescan the shingle
+    # table -- the two widest scans in the pipeline) read data already
+    # hash-partitioned on the join key and skip their Exchange entirely;
+    # only the narrow candidate-pair side shuffles. At 100 TB the shingle
+    # table is the dominant shuffle payload, so this converts the verify
+    # stage's two wide-array shuffles into zero. Requires a checkpoint_dir
+    # (bucket metadata rides the table catalog; resume re-registers the
+    # external table from the parquet directory). None (default) = plain
+    # parquet checkpoints.
     check_id_collisions: bool = True
     # Audit that the 64-bit xxhash file_id is injective over this corpus's
     # natural keys (repo, path, commit) before anything downstream keys on
@@ -212,6 +225,10 @@ class PipelineConfig:
         if self.bands * self.rows_per_band != self.num_perm:
             raise ValueError(
                 f"bands*rows ({self.bands}*{self.rows_per_band}) != num_perm ({self.num_perm})"
+            )
+        if self.checkpoint_buckets is not None and self.checkpoint_buckets < 1:
+            raise ValueError(
+                f"checkpoint_buckets must be >= 1, got {self.checkpoint_buckets}"
             )
         if self.simhash_table_blocks is not None:
             m, t, bits = (

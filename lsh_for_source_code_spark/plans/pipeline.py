@@ -61,19 +61,64 @@ class CheckpointStore:
             os.path.join(self._path(name), "_SUCCESS")
         )
 
-    def materialize(self, name: str, df: DataFrame) -> DataFrame:
+    def _table_name(self, name: str) -> str:
+        import hashlib
+
+        h = hashlib.md5(self.root.encode()).hexdigest()[:10]
+        return f"ckpt_{h}_{name}"
+
+    def _register_bucketed(self, name: str, bucket: tuple) -> str:
+        """(Re-)register the external bucketed table over an existing
+        checkpoint directory -- bucket METADATA lives in the session
+        catalog, so a resume from a fresh session must rebuild it before
+        the scan can report its hash partitioning."""
+        cols, n = bucket
+        tbl = self._table_name(name)
+        if not self.spark.catalog.tableExists(tbl):
+            schema = self.spark.read.parquet(self._path(name)).schema
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({', '.join(cols)}) INTO {int(n)} BUCKETS "
+                f"LOCATION '{self._path(name)}'"
+            )
+        return tbl
+
+    def materialize(
+        self, name: str, df: DataFrame, bucket: tuple | None = None
+    ) -> DataFrame:
         """Write-once + read-back; stage output becomes a scan (lineage cut,
         resume point). Without a root, stages are persisted instead so
         multi-consumer stages (shingled feeds S2 + the verify join; verified
-        feeds the cluster edges and metrics) compute once, not per action."""
+        feeds the cluster edges and metrics) compute once, not per action.
+
+        `bucket=((col, ...), n)` writes the stage `bucketBy(n, cols)` as an
+        external datasource table: downstream equi-joins on the bucket
+        columns read it pre-hash-partitioned and skip their Exchange (see
+        PipelineConfig.checkpoint_buckets)."""
         if not self.root:
             from lsh_for_source_code_spark.caching import track
 
             return track(df.persist(StorageLevel.MEMORY_AND_DISK))
         t0 = time.monotonic()
         if not self.has(name):
-            df.write.mode("overwrite").parquet(self._path(name))
-            out = self.spark.read.parquet(self._path(name))
+            if bucket is not None:
+                cols, n = bucket
+                tbl = self._table_name(name)
+                if self.spark.catalog.tableExists(tbl):
+                    self.spark.sql(f"DROP TABLE {tbl}")
+                (
+                    df.write.mode("overwrite")
+                    .option("path", self._path(name))
+                    .bucketBy(int(n), *cols)
+                    .saveAsTable(tbl)
+                )
+                out = self.spark.table(tbl)
+            else:
+                df.write.mode("overwrite").parquet(self._path(name))
+                out = self.spark.read.parquet(self._path(name))
             if self.lineage:
                 from lsh_for_source_code_spark.plans.metrics import partition_stats
 
@@ -94,6 +139,8 @@ class CheckpointStore:
             return out
         self.log.append({"stage": name, "action": "resumed", "wall_s": 0.0})
         self.metrics.record(name, "resumed")
+        if bucket is not None:
+            return self.spark.table(self._register_bucketed(name, bucket))
         return self.spark.read.parquet(self._path(name))
 
     def finish(self):
@@ -158,6 +205,11 @@ def run_pipeline(
         "files_shingled",
         shingle_files(ids, k=cfg.shingle_k, min_freq=cfg.min_token_freq).select(
             "file_id", "content_sha", "n_tokens", "shingles", "counts"
+        ),
+        bucket=(
+            (("file_id",), cfg.checkpoint_buckets)
+            if cfg.checkpoint_buckets and checkpoint_dir
+            else None
         ),
     )
 

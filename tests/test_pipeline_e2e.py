@@ -489,3 +489,58 @@ def test_lcs_hybrid_search_matches_per_pair_across_crossover():
                 ):
                     ref[i] = V._lcs_len_from(ha, hb, L0, m) / m
         assert np.allclose(got, ref), mc
+
+
+def test_bucketed_checkpoint_equivalence_and_plan(spark, tmp_path):
+    """cfg.checkpoint_buckets: (1) the bucketed pipeline's verified pairs
+    and clusters are identical to the plain run; (2) the verify feature
+    join over the bucketed shingle table reads BOTH wide sides as bucketed
+    scans and drops their Exchanges (4 -> 2; only the narrow candidate
+    side still shuffles -- the whole point at 100 TB, where the shingle
+    table dominates shuffle bytes); (3) a resume with the table metadata
+    gone (fresh-session simulation) re-registers the external bucketed
+    table and reproduces the result."""
+    from lsh_for_source_code_spark.operators.verify import verify_pairs
+    from lsh_for_source_code_spark.plans.pipeline import run_pipeline
+
+    df, _ = corpus_df(spark, n_files=80, seed=3)
+    plain_cfg = PipelineConfig()
+    buck_cfg = PipelineConfig(checkpoint_buckets=4)
+
+    out_p = run_pipeline(spark, df, plain_cfg, checkpoint_dir=str(tmp_path / "p"))
+    out_b = run_pipeline(spark, df, buck_cfg, checkpoint_dir=str(tmp_path / "b"))
+    pairs_p = {(r.id_a, r.id_b) for r in out_p["verified_pairs"].collect()}
+    pairs_b = {(r.id_a, r.id_b) for r in out_b["verified_pairs"].collect()}
+    assert pairs_p == pairs_b and pairs_p
+    clus_p = {(r.file_id, r.cluster_id) for r in out_p["clusters"].collect()}
+    clus_b = {(r.file_id, r.cluster_id) for r in out_b["clusters"].collect()}
+    assert clus_p == clus_b
+
+    # plan shape: rebuild the verify join against each stored shingle stage
+    cands = out_b["candidate_pairs"].select("id_a", "id_b", "n_shared_bands")
+    plain_sh = spark.read.parquet(str(tmp_path / "b" / "files_shingled"))
+    for src, want_bucketed in ((plain_sh, False), (out_b["files_shingled"], True)):
+        v = verify_pairs(cands, plain_sh if not want_bucketed else src, buck_cfg)
+        v.count()
+        plan = v._jdf.queryExecution().executedPlan().toString()
+        n_ex = plan.count("Exchange hashpartitioning")
+        n_bk = plan.count("Bucketed: true")
+        if want_bucketed:
+            assert n_bk == 2 and n_ex == 2, plan[:2000]
+        else:
+            assert n_bk == 0 and n_ex == 4, plan[:2000]
+
+    # fresh-session resume: drop catalog metadata, keep files
+    for t in spark.catalog.listTables():
+        if t.name.startswith("ckpt_"):
+            spark.sql(f"DROP TABLE {t.name}")
+    out_r = run_pipeline(spark, df, buck_cfg, checkpoint_dir=str(tmp_path / "b"))
+    actions = {e["stage"]: e["action"] for e in out_r["_store"].log}
+    assert actions["files_shingled"] == "resumed"
+    clus_r = {(r.file_id, r.cluster_id) for r in out_r["clusters"].collect()}
+    assert clus_r == clus_p
+
+
+def test_config_rejects_bad_checkpoint_buckets():
+    with pytest.raises(ValueError):
+        PipelineConfig(checkpoint_buckets=0)
