@@ -430,6 +430,7 @@ def test_cluster_profile_output_identical_to_default(spark):
     path itself is exercised (verify_prefix_gate_k=64)."""
     prof = PipelineConfig.cluster_profile(executors=1)
     assert prof.verify_prefix_gate_k == 64
+    assert prof.checkpoint_buckets == prof.shuffle_partitions
     assert prof.jaccard_threshold == CFG.jaccard_threshold
     assert prof.mega_refine_levels == CFG.mega_refine_levels
     assert prof.min_band_agreement == CFG.min_band_agreement
