@@ -545,3 +545,33 @@ def test_bucketed_checkpoint_equivalence_and_plan(spark, tmp_path):
 def test_config_rejects_bad_checkpoint_buckets():
     with pytest.raises(ValueError):
         PipelineConfig(checkpoint_buckets=0)
+
+
+def test_pipeline_survives_ansi_mode(spark):
+    """Spark 4's default is spark.sql.ansi.enabled=true; our session
+    builder turns it off, but a user embedding the library in their OWN
+    session will run under ANSI. The full pipeline (and the one known
+    trap class -- map lookups on absent keys, ADVICE r3) must produce
+    identical results in both modes, not raise."""
+    from lsh_for_source_code_spark.operators.verify import verify_pairs
+
+    df, _ = corpus_df(spark, n_files=80, seed=3)
+    cfg = PipelineConfig(overlap_threshold=0.5)  # overlap channel on
+    base = run_pipeline(spark, df, cfg)
+    expect = {(r.id_a, r.id_b) for r in base["verified_pairs"].collect()}
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = run_pipeline(spark, df, cfg)
+        got = {(r.id_a, r.id_b) for r in out["verified_pairs"].collect()}
+        assert got == expect and got
+        # the JVM overlap variant exercises try_element_at specifically
+        v = verify_pairs(
+            base["candidate_pairs"],
+            base["files_shingled"],
+            cfg,
+            overlap_impl="jvm",
+        )
+        got_jvm = {(r.id_a, r.id_b) for r in v.collect()}
+        assert got_jvm == expect
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
