@@ -516,6 +516,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
+            if ns != len(comps):
+                # non-interleaved multi-scan baseline: each component in
+                # its own scan -- rare enough that silent zero planes
+                # would be worse than the digest fallback
+                raise NotImplementedError("multi-scan (non-interleaved) JPEG")
             for i in range(ns):
                 cid, tt = body[1 + 2 * i : 3 + 2 * i]
                 comp = next((c for c in comps if c.cid == cid), None)

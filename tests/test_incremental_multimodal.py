@@ -531,6 +531,17 @@ def test_jpeg_rejects_unsupported():
     )
     with pytest.raises(NotImplementedError):
         decode_jpeg(sof2)
+    # non-interleaved multi-scan: SOS covering 1 of 3 frame components
+    from lsh_for_source_code_spark.functions.jpeg import encode_jpeg
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    full = bytearray(encode_jpeg(px, quality=90))
+    i = bytes(full).find(b"\xff\xda")
+    seglen = struct.unpack(">H", full[i + 2 : i + 4])[0]
+    one_scan = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    crafted = bytes(full[:i]) + one_scan + bytes(full[i + 2 + seglen :])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(crafted)
 
 
 def test_media_features_use_real_jpeg_pixels(spark):
