@@ -337,8 +337,9 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """(H, W) or (H, W, 1) grayscale / (H, W, 3) RGB uint8 -> baseline JFIF
-    bytes. subsampling: "444" (1x1 chroma) or "420" (2x2-box-mean chroma,
-    16x16 interleaved MCUs -- exercises the decoder's multi-block MCU path).
+    bytes. subsampling: "444" (1x1 chroma), "422" (2x1-box-mean chroma,
+    16x8 MCUs -- exercises the decoder's asymmetric h!=v sampling path) or
+    "420" (2x2-box-mean chroma, 16x16 interleaved MCUs).
     restart_interval > 0 writes DRI + RSTn markers every that-many MCUs
     (exercises the decoder's predictor-reset/realign path)."""
     px = np.asarray(px)
@@ -347,35 +348,38 @@ def encode_jpeg(
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("expected (H,W)[,1|3] image")
-    if subsampling not in ("444", "420"):
+    _SUB = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsampling not in _SUB:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("zero-sized image")
     qt_l, qt_c = _quality_tables(quality)
-    sub = 2 if (subsampling == "420" and not gray) else 1
+    # luma sampling factors (horizontal, vertical) relative to chroma
+    fx, fy = (1, 1) if gray else _SUB[subsampling]
 
     if gray:
         planes = [px.astype(np.float64)]
     else:
         ycc = _rgb_to_ycbcr(px)
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
-        if sub == 2:
+        if fx > 1 or fy > 1:
             for i in (1, 2):
                 p = planes[i]
-                ph = _pad_to(p, -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2)
+                ph = _pad_to(
+                    p, -(-p.shape[0] // fy) * fy, -(-p.shape[1] // fx) * fx
+                )
                 planes[i] = (
-                    ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(
-                        axis=(1, 3)
-                    )
+                    ph.reshape(
+                        ph.shape[0] // fy, fy, ph.shape[1] // fx, fx
+                    ).mean(axis=(1, 3))
                 )
 
-    mcu = 8 * sub
-    mcux, mcuy = -(-w // mcu), -(-h // mcu)
+    mcux, mcuy = -(-w // (8 * fx)), -(-h // (8 * fy))
     comp_blocks = []
     for ci, plane in enumerate(planes):
-        f = sub if ci == 0 else 1  # sampling factor relative to chroma grid
-        bh, bw_ = mcuy * f, mcux * f
+        cfx, cfy = (fx, fy) if ci == 0 else (1, 1)
+        bh, bw_ = mcuy * cfy, mcux * cfx
         padded = _pad_to(plane, bh * 8, bw_ * 8)
         qt = qt_l if ci == 0 else qt_c
         blocks = _encode_plane_blocks(padded, qt).reshape(bh, bw_, 8, 8)
@@ -394,12 +398,12 @@ def encode_jpeg(
                 preds = [0] * len(planes)
             mcu_i += 1
             for ci, blocks in enumerate(comp_blocks):
-                f = sub if ci == 0 else 1
-                for vy in range(f):
-                    for vx in range(f):
+                cfx, cfy = (fx, fy) if ci == 0 else (1, 1)
+                for vy in range(cfy):
+                    for vx in range(cfx):
                         preds[ci] = _write_block(
                             bw,
-                            blocks[my * f + vy, mx * f + vx],
+                            blocks[my * cfy + vy, mx * cfx + vx],
                             preds[ci],
                             dc_codes,
                             ac_codes,
@@ -419,8 +423,8 @@ def encode_jpeg(
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        f = sub if ci == 0 else 1
-        sof += bytes([ci + 1, (f << 4) | f, 0 if ci == 0 else 1])
+        cfx, cfy = (fx, fy) if ci == 0 else (1, 1)
+        sof += bytes([ci + 1, (cfx << 4) | cfy, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, _DC_TABLE)
     out += _dht_segment(1, 0, _AC_TABLE)

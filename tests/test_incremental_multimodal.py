@@ -496,13 +496,15 @@ def test_jpeg_subsampling_and_restart_markers():
     px = np.stack(
         [(y * 3) % 256, (x * 5) % 256, ((x + y) * 2) % 256], axis=-1
     ).astype(np.uint8)
-    plain = decode_jpeg(encode_jpeg(px, quality=92, subsampling="420"))
-    assert plain.shape == (45, 51, 3)
-    for ri in (1, 2, 5):
-        with_rst = decode_jpeg(
-            encode_jpeg(px, quality=92, subsampling="420", restart_interval=ri)
-        )
-        assert np.array_equal(plain, with_rst)
+    for sub in ("420", "422"):  # 422 exercises the asymmetric h != v path
+        plain = decode_jpeg(encode_jpeg(px, quality=92, subsampling=sub))
+        assert plain.shape == (45, 51, 3)
+        assert np.abs(plain.astype(int) - px.astype(int)).max() <= 6
+        for ri in (1, 2, 5):
+            with_rst = decode_jpeg(
+                encode_jpeg(px, quality=92, subsampling=sub, restart_interval=ri)
+            )
+            assert np.array_equal(plain, with_rst)
     # 4:4:4 and 4:2:0 of a smooth image agree closely (chroma is smooth)
     smooth = np.stack([y * 2, y * 2, y * 2], axis=-1).astype(np.uint8)
     f444 = decode_jpeg(encode_jpeg(smooth, quality=95, subsampling="444"))
