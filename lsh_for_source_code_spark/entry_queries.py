@@ -829,6 +829,32 @@ def q_winnow_overlap_pairs(spark, sf_dir):
     return winnow_overlap_pairs(_read(spark, sf_dir, "documents"))
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Batch sessionization of the events table (gaps-and-islands): a new
+    session starts when the gap to the user's previous event exceeds 30
+    minutes -- the SAME rule the streaming applyInPandasWithState
+    sessionizer implements statefully (streaming/incremental.py:129), so
+    this oracle-checked batch twin certifies those semantics declaratively.
+    Plan: one shuffle on user_id; the lag window, the running-sum window
+    and the final groupBy all reuse that partitioning. Gap compare in
+    exact integer microseconds on both engines."""
+    e = _read(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # ts is TIMESTAMP_NTZ: interval arithmetic keeps the gap compare exact
+    # (micros) and timezone-free on both engines
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > F.expr("INTERVAL '30' MINUTE")), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = e.withColumn("_sid", F.sum(new_sess).over(w))
+    return sess.groupBy("user_id", "_sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).drop("_sid")
+
+
 def q_simhash_winnow(spark, sf_dir):
     """SimHash fingerprint over each document's winnowed MOSS fingerprints
     (doc_id, simhash16): bit b of the 16-bit sketch is 1 iff the sum of
@@ -1070,6 +1096,7 @@ QUERIES = {
     "lcs_containment_pairs": q_lcs_containment_pairs,
     "media_features": q_media_features,
     "simhash_winnow": q_simhash_winnow,
+    "sessionize_events": q_sessionize_events,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -1417,6 +1444,26 @@ ORACLE = {
                coalesce(c.lcs, 0) AS lcs_len
         FROM d a JOIN d b ON a.doc_id < b.doc_id
         LEFT JOIN common c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+    """,
+    # batch twin of the streaming sessionizer's gap rule
+    "sessionize_events": """
+        WITH m AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM s GROUP BY user_id, sid
     """,
     # simhash vote-and-threshold over the certified winnow fp set --
     # same bit arithmetic, independently expressed

@@ -114,6 +114,14 @@ def test_partial_aggregation_before_exchange(spark):
     assert "partial_sum" in p[ex:], "simhash_winnow shuffles raw fp rows"
 
 
+def test_sessionize_single_shuffle(spark):
+    """sessionize_events chains two windows and a groupBy, all keyed on
+    user_id: Catalyst must reuse ONE hash exchange for the whole chain --
+    a second shuffle would double the query's network cost for nothing."""
+    p = _plan(spark, QUERIES["sessionize_events"](spark, SF_DIR), "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p[:1500]
+
+
 def test_hot_aggregation_stays_in_codegen(spark):
     """After execution (AQE final plan), the aggregation pipeline must
     carry whole-stage-codegen stages -- no interpreted gaps in the hot
