@@ -141,6 +141,11 @@ def streaming_sessionize(
     emits it; event-time timeout (watermark + gap) closes idle sessions.
     This is the applyInPandasWithState shape for any custom per-key state
     machine (the engine's stand-in for operators Spark lacks natively).
+
+    Gap rule is EXACT MICROSECONDS (r4s3) -- bit-identical semantics to the
+    oracle-checked batch twin `entry_queries.q_sessionize_events`, which a
+    test asserts; the earlier millisecond truncation could disagree with
+    the batch rule for gaps within 1ms of the threshold.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -164,40 +169,42 @@ def streaming_sessionize(
     )
     state_schema = StructType(
         [
-            StructField("start_ms", LongType()),
-            StructField("last_ms", LongType()),
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
             StructField("n", IntegerType()),
             StructField("sv", DoubleType()),
         ]
     )
-    gap_ms = gap_minutes * 60_000
+    gap_us = gap_minutes * 60_000_000
 
     def sessionize(key, pdfs, state: GroupState):
         (user_id,) = key
         sessions = []
         if state.hasTimedOut:
-            start_ms, last_ms, n, sv = state.get
-            sessions.append((user_id, start_ms, last_ms, n, sv))
+            start_us, last_us, n, sv = state.get
+            sessions.append((user_id, start_us, last_us, n, sv))
             state.remove()
         else:
             rows = pd.concat(list(pdfs), ignore_index=True)
             rows = rows.sort_values("ts")
-            ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+            ts_us = (rows["ts"].astype("int64") // 1_000).to_numpy()
             vals = rows["value"].to_numpy()
             if state.exists:
-                start_ms, last_ms, n, sv = state.get
+                start_us, last_us, n, sv = state.get
             else:
-                start_ms, last_ms, n, sv = int(ts_ms[0]), int(ts_ms[0]) - 1, 0, 0.0
-            for t, v in zip(ts_ms, vals):
+                start_us, last_us, n, sv = int(ts_us[0]), int(ts_us[0]) - 1, 0, 0.0
+            for t, v in zip(ts_us, vals):
                 t = int(t)
-                if n > 0 and t - last_ms > gap_ms:
-                    sessions.append((user_id, start_ms, last_ms, n, sv))
-                    start_ms, n, sv = t, 0, 0.0
+                if n > 0 and t - last_us > gap_us:
+                    sessions.append((user_id, start_us, last_us, n, sv))
+                    start_us, n, sv = t, 0, 0.0
                 if n == 0:
-                    start_ms = t
-                last_ms, n, sv = t, n + 1, sv + float(v)
-            state.update((start_ms, last_ms, n, sv))
-            state.setTimeoutTimestamp(last_ms + gap_ms)
+                    start_us = t
+                last_us, n, sv = t, n + 1, sv + float(v)
+            state.update((start_us, last_us, n, sv))
+            # timeout API takes epoch MILLIS; round up so it never fires
+            # a microsecond early
+            state.setTimeoutTimestamp(-(-(last_us + gap_us) // 1000))
         if not sessions:
             yield pd.DataFrame(
                 columns=["user_id", "session_start", "session_end", "n_events", "sum_value"]
@@ -207,8 +214,8 @@ def streaming_sessionize(
                 sessions,
                 columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
             )
-            df["session_start"] = pd.to_datetime(df["session_start"], unit="ms")
-            df["session_end"] = pd.to_datetime(df["session_end"], unit="ms")
+            df["session_start"] = pd.to_datetime(df["session_start"], unit="us")
+            df["session_end"] = pd.to_datetime(df["session_end"], unit="us")
             yield df
 
     stream = (

@@ -185,3 +185,53 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     }
     assert (1, "10:00", 2, 3.0) in got, got   # gap-split session (batch 1)
     assert (1, "12:10", 1, 4.0) in got, got   # closed by event-time timeout
+
+
+def test_streaming_sessionize_matches_batch_twin(spark, tmp_path):
+    """The stateful streaming sessionizer and the oracle-checked batch
+    twin (entry_queries.q_sessionize_events) implement the SAME 30-minute
+    exact-microsecond gap rule: every session the stream emits (closed by
+    gap or by event-time timeout as the availableNow run drains) must
+    appear bit-for-bit in the batch result -- same start/end micros, same
+    count, same sum. Certifies the applyInPandasWithState machine against
+    a declarative, DuckDB-oracled definition."""
+    import math
+
+    from lsh_for_source_code_spark.entry_queries import q_sessionize_events
+    from lsh_for_source_code_spark.streaming.incremental import (
+        streaming_sessionize,
+    )
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "events_src")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .write.parquet(src)
+    )
+    ck = str(tmp_path / "sess_ck")
+    q = streaming_sessionize(
+        spark, src, ck, gap_minutes=30, watermark="0 seconds"
+    ).start()
+    q.awaitTermination(180)
+    got = spark.read.parquet(ck + "_out").toPandas()
+    batch = q_sessionize_events(spark, "/root/testdata/sf0.001").toPandas()
+
+    def keyed(df):
+        return {
+            (int(r.user_id), r.session_start.value, r.session_end.value): (
+                int(r.n_events),
+                float(r.sum_value),
+            )
+            for r in df.itertuples()
+        }
+
+    gs, bs = keyed(got), keyed(batch)
+    assert len(gs) > 50, f"stream emitted only {len(gs)} sessions"
+    missing = [k for k in gs if k not in bs]
+    assert not missing, f"stream sessions absent from batch twin: {missing[:5]}"
+    for k, (n, sv) in gs.items():
+        bn, bsv = bs[k]
+        assert n == bn, (k, n, bn)
+        assert math.isclose(sv, bsv, rel_tol=0, abs_tol=5e-4), (k, sv, bsv)
