@@ -158,7 +158,12 @@ class PipelineConfig:
     # over-estimates the bottom-k-union jaccard estimate (every element the
     # union sketch counts lies in both prefixes), so gating on
     # est >= jaccard_threshold - 0.2 keeps a SUPERSET of what the unbiased
-    # sketch would keep. Survivors still get exact jaccard. MEASURED at
+    # sketch would keep. NOTE this is a PROBABILISTIC gate, not a sound
+    # bound: a true pair whose bottom-k estimate lands in the tail below
+    # theta - 0.2 is dropped before exact verification (per-pair miss
+    # <= exp(-2k*0.2^2) ~= 0.6% at k=64 by Hoeffding, ~7e-4 under the
+    # normal approx at theta=0.5; recovered only by cluster transitivity).
+    # Survivors still get exact jaccard. MEASURED at
     # 200k/17.46M candidates (BENCH_NOTES r4): cuts 73% of candidate pairs
     # out of the wide-array join with ZERO verified-pair loss (all 9 A/B
     # runs bit-identical, 499,797 pairs), shrinking verify-join shuffle

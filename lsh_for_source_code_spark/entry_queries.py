@@ -888,15 +888,21 @@ _MEDIA_SUBSET_MAX_ID = 24  # fixed media-synthesis subset: scale-invariant
 
 def q_media_features(spark, sf_dir):
     """Driver-visible multimodal channel: synthesize deterministic REAL
-    media payloads (baseline JPEG via functions/jpeg.py, RIFF/PCM WAV,
-    YUV4MPEG2) from a fixed 24-doc subset of `documents`, then run the
-    production mapInPandas decode -> feature pipeline
+    media payloads (baseline JPEG via functions/jpeg.py, PNG via
+    functions/png.py, RIFF/PCM WAV, YUV4MPEG2 -- all four real codecs)
+    from a fixed 24-doc subset of `documents`, then run the production
+    mapInPandas decode -> feature pipeline
     (functions/multimodal.extract_media_features) on them. Every payload
     goes through a REAL codec -- encode on one side of the Arrow batch,
     the channel's own decoder on the other -- so this exercises the same
     code path a user's parquet-of-binary media table takes. Rows-only by
     design (a SQL oracle cannot run a JPEG entropy decoder); the codecs
-    themselves are DP/roundtrip/property-tested in pytest."""
+    themselves are DP/roundtrip/property-tested in pytest.
+
+    The feature vector is projected to canonicalizable SCALARS (feat_len +
+    feat_sig, the q_minhash_signatures convention): the driver harness
+    sorts result columns to canonicalize, and pandas cannot sort an
+    array<float> column (CORRECTNESS_r04's only red row)."""
     import struct
 
     from lsh_for_source_code_spark.functions.jpeg import encode_jpeg
@@ -904,14 +910,25 @@ def q_media_features(spark, sf_dir):
         MEDIA_SCHEMA,
         extract_media_features,
     )
+    from lsh_for_source_code_spark.functions.png import encode_png
 
     def synth(batches):
         for pdf in batches:
             rows = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 doc_id, n_chars = int(doc_id), int(n_chars)
-                kind = ("image", "audio", "video")[doc_id % 3]
-                if kind == "image":
+                kind = ("image", "audio", "video", "image")[doc_id % 4]
+                if kind == "image" and doc_id % 4 == 3:  # PNG branch
+                    i = np.arange(16)[:, None, None]
+                    j = np.arange(16)[None, :, None]
+                    ch = np.arange(3)[None, None, :]
+                    px = ((i * 7 + j * 13 + ch * 29 + n_chars) % 256).astype(
+                        np.uint8
+                    )
+                    payload = encode_png(px)
+                    w = h = 16
+                    dur = None
+                elif kind == "image":
                     i = np.arange(16)[:, None]
                     j = np.arange(16)[None, :]
                     px = ((i * 16 + j) * 3 + n_chars).astype(np.int64) % 256
@@ -961,14 +978,24 @@ def q_media_features(spark, sf_dir):
     )
     media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
     feats = extract_media_features(media)
+    # scalar projection: round each element to 5dp as a scaled integer and
+    # join -- order-preserving, hashable, sort-stable in pandas
+    feat_sig = F.concat_ws(
+        ",",
+        F.transform(
+            "feature",
+            lambda x: F.round(x.cast("double") * 100000).cast("long").cast(
+                "string"
+            ),
+        ),
+    )
     return feats.select(
         "media_id",
         "kind",
         "payload_sha",
         "n_bytes",
-        F.transform("feature", lambda x: F.round(x.cast("double"), 5)).alias(
-            "feature"
-        ),
+        F.size("feature").alias("feat_len"),
+        feat_sig.alias("feat_sig"),
     )
 
 

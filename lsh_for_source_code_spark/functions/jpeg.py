@@ -468,15 +468,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_comps: list[_Component] = []
     scan_start = -1
 
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if 0xD0 <= marker <= 0xD7:
-            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / RSTn: standalone markers, no length field
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         body = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT

@@ -14,6 +14,8 @@ swapping in a codec changes no Spark plumbing.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -40,6 +42,19 @@ MEDIA_SCHEMA = StructType(
         StructField("height", IntegerType(), True),
         StructField("duration_ms", IntegerType(), True),
     ]
+)
+
+#: exceptions a decoder may raise on CORRUPT (not merely unsupported) bytes:
+#: truncated chunks, bad zlib streams, desynced markers, short struct reads,
+#: out-of-range slices. Scraped corpora are guaranteed to contain such
+#: payloads, so every one of these routes to the digest fallback instead of
+#: failing the whole mapInPandas batch (ADVICE r4).
+_DECODE_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    zlib.error,
+    struct.error,
+    IndexError,
 )
 
 FEATURE_SCHEMA = StructType(
@@ -71,22 +86,19 @@ def _decode_image(payload: bytes, width, height, resize_to=None) -> np.ndarray:
     )
 
     px = None
-    if payload.startswith(PNG_MAGIC):
-        try:
-            px = decode_png(payload)
-        except NotImplementedError:
-            pass  # interlaced/16-bit: digest fallback below
-    elif payload.startswith(JPEG_MAGIC):
-        try:
+    try:
+        if payload.startswith(PNG_MAGIC):
+            px = decode_png(payload)  # unsupported variant OR corrupt bytes:
+        elif payload.startswith(JPEG_MAGIC):  # digest fallback below
             px = decode_jpeg(payload)
-        except NotImplementedError:
-            pass  # progressive/arithmetic/CMYK: digest fallback below
-    if px is not None:
-        if resize_to is not None:
-            from lsh_for_source_code_spark.functions.png import resize_image
+        if px is not None:
+            if resize_to is not None:
+                from lsh_for_source_code_spark.functions.png import resize_image
 
-            px = resize_image(px, resize_to[0], resize_to[1])
-        return pixel_feature(px, grid=4)
+                px = resize_image(px, resize_to[0], resize_to[1])
+            return pixel_feature(px, grid=4)
+    except _DECODE_ERRORS:
+        pass
     # FALLBACK STUB for non-PNG codecs: deterministic digest 'embedding'
     digest = hashlib.blake2b(payload, digest_size=64).digest()
     return (
@@ -114,8 +126,8 @@ def _decode_audio_frames(payload: bytes, duration_ms) -> np.ndarray:
         try:
             samples, _rate = decode_wav(payload)
             return audio_feature(samples, n_frames=8)
-        except NotImplementedError:
-            pass  # compressed-in-WAV codec: digest fallback below
+        except _DECODE_ERRORS:
+            pass  # compressed-in-WAV codec OR corrupt bytes: digest below
     # FALLBACK STUB for compressed codecs: deterministic digest 'embedding'
     digest = hashlib.blake2b(payload, digest_size=32).digest()
     return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
@@ -139,8 +151,8 @@ def _decode_video_frames(payload: bytes, duration_ms) -> np.ndarray:
     if is_y4m(payload):
         try:
             return video_feature(decode_y4m(payload), k=4, grid=2)
-        except NotImplementedError:
-            pass  # unsupported chroma layout: digest fallback below
+        except _DECODE_ERRORS:
+            pass  # unsupported chroma layout OR corrupt bytes: digest below
     # FALLBACK STUB for compressed containers: deterministic digest
     digest = hashlib.blake2b(payload, digest_size=32).digest()
     return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0

@@ -136,6 +136,40 @@ def decode_png(data: bytes) -> np.ndarray:
     return px
 
 
+def encode_png(px: np.ndarray, compress_level: int = 6) -> bytes:
+    """(H, W) or (H, W, C) uint8 -> non-interlaced 8-bit PNG bytes.
+
+    Channel count picks the color type (1 -> grayscale 0, 2 -> gray+alpha 4,
+    3 -> RGB 2, 4 -> RGBA 6); every scanline uses filter 0 (None), which
+    decode_png reconstructs exactly -- the encoder exists so tests and the
+    driver-visible media query can round-trip REAL PNG payloads through the
+    production decoder without any image library."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if ctype is None:
+        raise ValueError(f"unsupported channel count {c}")
+    raw = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 1:] = px.reshape(h, w * c)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(raw.tobytes(), compress_level)
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def pixel_feature(px: np.ndarray, grid: int = 4) -> np.ndarray:
     """(H, W, C) pixels -> grid*grid float32 feature in [0, 1]: per-cell
     mean luminance on a grid x grid block partition. Deterministic, scale-

@@ -581,3 +581,72 @@ def test_media_features_use_real_jpeg_pixels(spark):
     assert np.allclose(rows[2].feature, decoded, atol=1e-6)
     # decoded-pixel feature tracks the original pixels, not a digest
     assert np.abs(np.asarray(rows[1].feature) - pixel_feature(px, grid=4)).max() < 0.02
+
+
+def test_corrupt_media_payloads_fall_back_not_fail(spark):
+    """ADVICE r4: scraped corpora are guaranteed to contain truncated or
+    corrupt media. A payload with a valid magic but corrupt body must route
+    to the deterministic digest fallback -- never propagate ValueError /
+    zlib.error / struct.error out of the mapInPandas loop and kill the job."""
+    from lsh_for_source_code_spark.functions.jpeg import encode_jpeg
+    from lsh_for_source_code_spark.functions.png import PNG_MAGIC, encode_png
+
+    px = (np.mgrid[0:16, 0:16][0] * 11 % 256).astype(np.uint8)
+    good_jpg = encode_jpeg(px, quality=90)
+    good_png = encode_png(np.stack([px] * 3, axis=-1))
+    payloads = [
+        good_jpg[: len(good_jpg) // 2],          # truncated JPEG
+        good_png[:-8] + b"\x00" * 8,             # corrupt PNG CRC/IEND
+        PNG_MAGIC + b"\x00\x01garbage",          # PNG magic, garbage chunks
+        b"RIFF\x10\x00\x00\x00WAVEjunkjunk",     # WAV magic, corrupt body
+        b"YUV4MPEG2 W16 H16\nFRAME\nxx",         # Y4M header, truncated frame
+        b"\xff\xd8\xff\xe0junk",                 # JPEG SOI then garbage
+    ]
+    kinds = ["image", "image", "image", "audio", "video", "image"]
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": list(range(1, len(payloads) + 1)),
+                "kind": kinds,
+                "mime": [None] * len(payloads),
+                "payload": payloads,
+                "width": [16] * len(payloads),
+                "height": [16] * len(payloads),
+                "duration_ms": [None] * len(payloads),
+            }
+        )
+    )
+    rows = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert len(rows) == len(payloads)  # the job survived every corruption
+    for mid, payload in enumerate(payloads, start=1):
+        assert rows[mid].payload_sha == hashlib.sha256(payload).hexdigest()
+        assert len(rows[mid].feature) in (16, 32)
+
+
+def test_encode_png_roundtrips_through_production_decoder():
+    from lsh_for_source_code_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for c in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(9, 13, c), dtype=np.uint8)
+        got = decode_png(encode_png(px))
+        assert got.shape == (9, 13, c)
+        assert np.array_equal(got, px)
+    gray2d = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(gray2d))[:, :, 0], gray2d)
+
+
+def test_decode_jpeg_tolerates_fill_bytes_and_tem_marker():
+    """T.81 allows 0xFF fill bytes before any marker and the standalone TEM
+    (0x01) marker; both are legal streams and must decode identically
+    (ADVICE r4: previously 'JPEG marker desync' / misparsed segment)."""
+    from lsh_for_source_code_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:16, 0:16]
+    px = ((y * 5 + x * 3) % 256).astype(np.uint8)
+    plain = encode_jpeg(px, quality=92)
+    base = decode_jpeg(plain)
+    # inject fill bytes + a TEM marker right after SOI (before the first
+    # tables segment)
+    padded = plain[:2] + b"\xff\xff\xff" + b"\xff\x01" + plain[2:]
+    assert np.array_equal(decode_jpeg(padded), base)
