@@ -563,9 +563,14 @@ def q_embedding_topk(spark, sf_dir):
 
 
 def q_embedding_ann_lsh(spark, sf_dir):
-    """Rows-only: ANN over embeddings via multi-table random-hyperplane LSH
-    + exact cosine re-rank (functions/ann.py; r1 gaps fixed per VERDICT
-    next#6: measurable recall, bucket occupancy cap, multi-table probing).
+    """ORACLE-CHECKED (r5, VERDICT r4 next#2; rows-only in r1-r4): ANN over
+    embeddings via multi-table random-hyperplane LSH + exact cosine re-rank
+    (functions/ann.py ann_topk -- including its bucket-occupancy skew cap,
+    which DuckDB mirrors with a HAVING clause). ann_topk runs the SAME
+    deterministic plane bank as q_embedding_ann_recall, routed through the
+    declarative plane_sketch_exprs path, so the DuckDB oracle reproduces
+    the bucketing from identical full-precision literals and then re-ranks
+    with exact cosine -- the whole approximate query is value-checked.
 
     Same 10 query vectors and output schema as the exact q_embedding_topk,
     so recall@5 is directly measurable (tests/test_entry_oracle.py). The
@@ -581,7 +586,12 @@ def q_embedding_ann_lsh(spark, sf_dir):
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     return ann_topk(
-        emb, F.col("vec_id") < 10, dim=64, k=5, bits=4, tables=8
+        emb,
+        F.col("vec_id") < 10,
+        dim=_ANN_R_DIM,
+        k=5,
+        bucket_cap=_ANN_BUCKET_CAP,
+        planes=_ann_recall_planes(),
     )
 
 
@@ -592,6 +602,7 @@ def q_embedding_ann_lsh(spark, sf_dir):
 #: buckets; dot products are rounded to 6 decimals before the sign test so
 #: a last-ulp summation difference can never flip a bucket bit.
 _ANN_R_TABLES, _ANN_R_BITS, _ANN_R_DIM, _ANN_R_SEED = 8, 4, 64, 7
+_ANN_BUCKET_CAP = 10_000  # ann_topk's occupancy skew cap, mirrored in SQL
 
 
 def _ann_recall_planes() -> np.ndarray:
@@ -600,24 +611,13 @@ def _ann_recall_planes() -> np.ndarray:
 
 
 def _plane_sketch_exprs(planes: np.ndarray) -> list:
-    """One Spark column per LSH table: the bits-wide hyperplane sketch of
-    array column `v`, with each dot product rounded to 6dp before the sign
-    test (so a last-ulp summation difference can never flip a bucket bit
-    between Spark and the DuckDB oracle)."""
-    tables, bits, _dim = planes.shape
-    out = []
-    for t in range(tables):
-        acc = F.lit(0).cast("long")
-        for b in range(bits):
-            arr = F.array(*[F.lit(float(x)) for x in planes[t, b]])
-            dot = F.aggregate(
-                F.zip_with("v", arr, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            acc = acc + (F.round(dot, 6) > 0).cast("long") * F.lit(1 << b)
-        out.append(acc)
-    return out
+    """Shared with ann_topk's declarative path: functions/ann.py
+    plane_sketch_exprs (one bits-wide hyperplane-sketch Column per table,
+    dot products rounded to 6dp before the sign test so a last-ulp
+    summation difference can never flip a bucket bit between engines)."""
+    from lsh_for_source_code_spark.functions.ann import plane_sketch_exprs
+
+    return plane_sketch_exprs(planes)
 
 
 def _plane_sketch_union_sql(planes: np.ndarray, src: str = "emb") -> str:
@@ -640,6 +640,43 @@ def _plane_sketch_union_sql(planes: np.ndarray, src: str = "emb") -> str:
         f"SELECT vec_id, {t} AS table_id, {sketch(t)} AS sketch FROM {src}"
         for t in range(tables)
     )
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB mirror of the full ann_topk plan (q_embedding_ann_lsh):
+    inlined-literal plane sketches -> bucket-occupancy cap (HAVING) ->
+    candidate bucket join (query sketches UNCAPPED, corpus side capped,
+    exactly ann_topk's ok/q_sk asymmetry) -> exact cosine top-5 re-rank
+    with ann_topk's (cos DESC, vec_id ASC) tie-break."""
+    sk_union = _plane_sketch_union_sql(_ann_recall_planes())
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sk AS (
+          {sk_union}
+        ), okb AS (
+          SELECT table_id, sketch FROM sk
+          GROUP BY 1, 2 HAVING count(*) <= {_ANN_BUCKET_CAP}
+        ), cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+          FROM sk q
+          JOIN sk e ON e.table_id = q.table_id AND e.sketch = q.sketch
+          JOIN okb ON okb.table_id = e.table_id AND okb.sketch = e.sketch
+          WHERE q.vec_id < 10 AND e.vec_id != q.vec_id
+        ), ranked AS (
+          SELECT c.query_id, c.neighbor_id,
+                 list_cosine_similarity(q.v, e.v) AS cos_raw,
+                 row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY list_cosine_similarity(q.v, e.v) DESC,
+                            c.neighbor_id ASC) AS rn
+          FROM cand c
+          JOIN emb q ON q.vec_id = c.query_id
+          JOIN emb e ON e.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim
+        FROM ranked WHERE rn <= 5
+    """
 
 
 def q_embedding_ann_recall(spark, sf_dir):
@@ -1429,6 +1466,7 @@ ORACLE = {
           WHERE q.vec_id < 10
         ) WHERE rn <= 5
     """,
+    "embedding_ann_lsh": _ann_lsh_oracle_sql(),
     "embedding_ann_recall": _ann_recall_oracle_sql(),
     "embedding_cosine_dups": _cosine_dups_oracle_sql(),
     "winnow_fingerprints": _WINNOW_SQL_CTES

@@ -50,6 +50,31 @@ def hyperplane_sketches_udf(dim: int, bits: int, tables: int, seed: int = 7):
     return sketches
 
 
+def plane_sketch_exprs(planes: np.ndarray, col: str = "v") -> list:
+    """Declarative (JVM-expression) twin of hyperplane_sketches_udf: one
+    Spark Column per LSH table -- the bits-wide hyperplane sketch of array
+    column `col`, plane coefficients inlined as full-precision literals and
+    each dot product rounded to 6dp before the sign test. Because the whole
+    computation is plain SQL expressions, an external engine (the DuckDB
+    oracle) can reproduce the bucketing bit-for-bit from the same literals;
+    the rounding means a last-ulp summation difference can never flip a
+    bucket bit between engines."""
+    tables, bits, _dim = planes.shape
+    out = []
+    for t in range(tables):
+        acc = F.lit(0).cast("long")
+        for b in range(bits):
+            arr = F.array(*[F.lit(float(x)) for x in planes[t, b]])
+            dot = F.aggregate(
+                F.zip_with(col, arr, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + (F.round(dot, 6) > 0).cast("long") * F.lit(1 << b)
+        out.append(acc)
+    return out
+
+
 def cosine_expr(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
@@ -66,6 +91,7 @@ def ann_topk(
     tables: int = 8,
     bucket_cap: int = 10_000,
     seed: int = 7,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors for the query subset.
 
@@ -73,13 +99,29 @@ def ann_topk(
     selecting the query vectors. Returns (query_id, neighbor_id, cos_sim)
     -- the same schema as the brute-force top-k, so recall@k is directly
     measurable against it.
+
+    planes: optional explicit (tables, bits, dim) hyperplane bank. When
+    given, sketches are computed by the declarative plane_sketch_exprs path
+    (bits/tables/seed are taken from the bank's shape), which an external
+    oracle can reproduce from the same literals; when None, the vectorized
+    pandas-UDF path draws the bank from `seed` (the high-dim production
+    path -- inlining 16x128 literals into the plan would bloat codegen).
     """
-    sk_udf = hyperplane_sketches_udf(dim, bits, tables, seed)
-    sk = track(
-        emb.withColumn("sk", sk_udf("v"))
-        .select("vec_id", "v", F.posexplode("sk").alias("table_id", "sketch"))
-        .persist()
-    )
+    if planes is not None:
+        tables, bits, _ = planes.shape
+        sk_src = emb.select(
+            "vec_id",
+            "v",
+            F.posexplode(F.array(*plane_sketch_exprs(planes))).alias(
+                "table_id", "sketch"
+            ),
+        )
+    else:
+        sk_udf = hyperplane_sketches_udf(dim, bits, tables, seed)
+        sk_src = emb.withColumn("sk", sk_udf("v")).select(
+            "vec_id", "v", F.posexplode("sk").alias("table_id", "sketch")
+        )
+    sk = track(sk_src.persist())
     occ = sk.groupBy("table_id", "sketch").count()
     ok = sk.join(
         occ.filter(F.col("count") <= bucket_cap).drop("count").hint("shuffle_hash"),

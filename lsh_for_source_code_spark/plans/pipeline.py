@@ -67,6 +67,33 @@ class CheckpointStore:
         h = hashlib.md5(self.root.encode()).hexdigest()[:10]
         return f"ckpt_{h}_{name}"
 
+    def _bucket_marker_path(self, name: str) -> str:
+        return os.path.join(self._path(name), "_BUCKET_SPEC.json")
+
+    def _write_bucket_marker(self, name: str, bucket: tuple) -> None:
+        """Persist the bucket layout (cols, n) next to _SUCCESS. Registering
+        a bucketed table over parquet asserts a hash partitioning Spark then
+        TRUSTS without checking -- if a resume's requested spec differs from
+        what the files were actually written with, downstream joins would
+        silently skip a required Exchange and produce wrong results (ADVICE
+        r4). The marker makes the layout self-describing so resume can
+        validate instead of trusting the caller's current config."""
+        import json
+
+        cols, n = bucket
+        with open(self._bucket_marker_path(name), "w") as f:
+            json.dump({"cols": list(cols), "buckets": int(n)}, f)
+
+    def _read_bucket_marker(self, name: str) -> tuple | None:
+        import json
+
+        p = self._bucket_marker_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            d = json.load(f)
+        return (tuple(d["cols"]), int(d["buckets"]))
+
     def _register_bucketed(self, name: str, bucket: tuple) -> str:
         """(Re-)register the external bucketed table over an existing
         checkpoint directory -- bucket METADATA lives in the session
@@ -121,6 +148,7 @@ class CheckpointStore:
                     .bucketBy(int(n), *cols)
                     .saveAsTable(tbl)
                 )
+                self._write_bucket_marker(name, bucket)
                 out = self.spark.table(tbl)
             else:
                 df.write.mode("overwrite").parquet(self._path(name))
@@ -143,10 +171,32 @@ class CheckpointStore:
             self.log.append({"stage": name, "action": "computed", "wall_s": wall})
             self.metrics.record(name, "computed", rows=rows, wall_s=round(wall, 3))
             return out
+        if bucket is not None:
+            cols, n = bucket
+            stored = self._read_bucket_marker(name)
+            if stored != (tuple(cols), int(n)):
+                # checkpoint was written unbucketed (no marker) or with a
+                # different layout than this run requests: a plain parquet
+                # scan is always correct (it just shuffles); registering the
+                # mismatched spec would silently corrupt downstream joins
+                self.log.append(
+                    {
+                        "stage": name,
+                        "action": "resumed_unbucketed",
+                        "wall_s": 0.0,
+                        "requested": [list(cols), int(n)],
+                        "stored": None if stored is None else [
+                            list(stored[0]), stored[1]
+                        ],
+                    }
+                )
+                self.metrics.record(name, "resumed_unbucketed")
+                return self.spark.read.parquet(self._path(name))
+            self.log.append({"stage": name, "action": "resumed", "wall_s": 0.0})
+            self.metrics.record(name, "resumed")
+            return self.spark.table(self._register_bucketed(name, bucket))
         self.log.append({"stage": name, "action": "resumed", "wall_s": 0.0})
         self.metrics.record(name, "resumed")
-        if bucket is not None:
-            return self.spark.table(self._register_bucketed(name, bucket))
         return self.spark.read.parquet(self._path(name))
 
     def finish(self):

@@ -575,3 +575,41 @@ def test_pipeline_survives_ansi_mode(spark):
         assert got_jvm == expect
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+def test_bucketed_checkpoint_spec_mismatch_falls_back_to_plain_scan(spark, tmp_path):
+    """ADVICE r4: resume must not trust the caller's CURRENT bucket spec.
+    If the checkpoint was written with a different (cols, n) -- or without
+    bucketing at all -- registering the requested spec would make Spark
+    assume a hash partitioning the files don't have and silently corrupt
+    downstream joins. The store persists a _BUCKET_SPEC.json marker at
+    write time and falls back to a plain parquet scan on any mismatch."""
+    from lsh_for_source_code_spark.plans.pipeline import run_pipeline
+
+    df, _ = corpus_df(spark, n_files=60, seed=5)
+    ckpt = str(tmp_path / "ck")
+    out_w = run_pipeline(
+        spark, df, PipelineConfig(checkpoint_buckets=4), checkpoint_dir=ckpt
+    )
+    clus_w = {(r.file_id, r.cluster_id) for r in out_w["clusters"].collect()}
+
+    # drop catalog metadata to simulate a fresh session, then resume with a
+    # DIFFERENT bucket count
+    for t in spark.catalog.listTables():
+        if t.name.startswith("ckpt_"):
+            spark.sql(f"DROP TABLE {t.name}")
+    out_r = run_pipeline(
+        spark, df, PipelineConfig(checkpoint_buckets=8), checkpoint_dir=ckpt
+    )
+    actions = {e["stage"]: e["action"] for e in out_r["_store"].log}
+    assert actions["files_shingled"] == "resumed_unbucketed"
+    clus_r = {(r.file_id, r.cluster_id) for r in out_r["clusters"].collect()}
+    assert clus_r == clus_w  # plain scan: correct results, just re-shuffles
+
+    # marker deleted (e.g. dir written by an unbucketed writer): same fallback
+    import os
+    os.remove(os.path.join(ckpt, "files_shingled", "_BUCKET_SPEC.json"))
+    out_n = run_pipeline(
+        spark, df, PipelineConfig(checkpoint_buckets=4), checkpoint_dir=ckpt
+    )
+    actions_n = {e["stage"]: e["action"] for e in out_n["_store"].log}
+    assert actions_n["files_shingled"] == "resumed_unbucketed"
