@@ -524,6 +524,75 @@ def q_simhash_hamming_pairs(spark, sf_dir):
     return simhash_candidate_pairs(signed, cfg)
 
 
+def q_simhash_hamming_pairs_tables(spark, sf_dir):
+    """Rows-only: the SAME SimHash hamming <= 3 channel as
+    q_simhash_hamming_pairs, but routed through the Manku (WWW'07) C(m,t)
+    block-combination TABLE path (cfg.simhash_table_blocks=8, the
+    extreme-scale key design: combination keys keep per-key entropy high
+    enough that a 10^12-file corpus doesn't degenerate into chunk-lottery
+    mega buckets). Both paths are exact at hamming <= t, so this query's
+    pair set must equal the legacy 4x16-bit path's -- asserted in pytest
+    (test_entry_oracle.py::test_simhash_table_path_equals_legacy_path)."""
+    docs = _read(spark, sf_dir, "documents")
+    cfg = PipelineConfig(simhash_table_blocks=8)
+    _, signed = _shingled_signed(docs, cfg)
+    return simhash_candidate_pairs(signed, cfg)
+
+
+def q_containment_pipeline(spark, sf_dir):
+    """Rows-only (VERDICT r4 next#7): the LCS containment channel exercised
+    END-TO-END over actual LSH survivors -- the exact integration the
+    production `run_pipeline(with_containment=True)` wiring uses
+    (plans/pipeline.py), not a fixed dimension like q_lcs_containment_pairs.
+    Flagship subset (doc_id % SUBSET_MOD == 0): shingle -> sign -> band ->
+    candidates -> keep_all verify; pairs BELOW the jaccard bar are re-joined
+    to content and scored with the hash-bisection LCS UDF (gate probe
+    enabled via min_containment); emitted rows are the CONTAINMENT-ONLY
+    detections the jaccard channel misses by construction (SURVEY.md 2.4:
+    overlap >= theta punishes size mismatch). Bounded at any scale: the LCS
+    UDF runs only on candidate pairs that already survived banding.
+
+    The synthetic testdata contains no natural containment clones (measured
+    max lcs_containment over all loose survivors: 0.35), so the corpus is
+    augmented with DETERMINISTIC planted fragments -- a middle substring
+    slice of each low-id document under a fragment id -- exactly the
+    extract-a-function containment case the north_star names; the query
+    then proves the channel finds them while the jaccard channel (by
+    construction) cannot."""
+    from lsh_for_source_code_spark.operators.verify import add_lcs_containment
+
+    tau = 0.6
+    base = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SUBSET_MOD == 0
+    )
+    frags = base.filter(
+        (F.col("doc_id") < 100) & (F.length("text") >= 200)
+    ).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.expr(
+            "concat('fragqq fragqq ', "
+            "substring(text, 9, cast(length(text) * 0.45 as int)))"
+        ).alias("text"),
+    )
+    docs = base.select("doc_id", "text").unionByName(frags)
+    cfg = FLAGSHIP_CFG
+    shingled, signed = _shingled_signed(docs, cfg)
+    bands = band_files(signed, cfg)
+    cands = candidate_pairs(bands, cfg, signed=signed)
+    loose = verify_pairs(
+        cands, shingled, cfg, keep_all=True, compute_overlap=False
+    ).filter(F.col("jaccard") < cfg.jaccard_threshold)
+    contain = add_lcs_containment(
+        loose, _docs_as_files(docs), min_containment=tau
+    )
+    return contain.filter(F.col("lcs_containment") >= tau).select(
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("lcs_containment", 6).alias("lcs_containment"),
+    )
+
+
 def q_band_skew_report(spark, sf_dir):
     """Rows-only: top-20 hottest LSH buckets (O14 skew monitor)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1150,6 +1219,8 @@ QUERIES = {
     "overlap_dup_pairs": q_overlap_dup_pairs,
     "minhash_signatures": q_minhash_signatures,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "simhash_hamming_pairs_tables": q_simhash_hamming_pairs_tables,
+    "containment_pipeline": q_containment_pipeline,
     "band_skew_report": q_band_skew_report,
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
