@@ -224,6 +224,22 @@ class PipelineConfig:
     # to table_blocks = hamming_max + 1). Requires m | simhash_bits and
     # (bits/m) | 64.
 
+    refine_work_persist: str = "deser"
+    # Storage strategy for the exploded refinement work table (the r3/r4 S5
+    # scaling suspect -- VERDICT r4 next#3): the (mega x levels) posexplode
+    # join output is read by three consumers (salted stats, emit join,
+    # residual join), so without caching Catalyst re-evaluates the upstream
+    # signed-join per consumer.
+    #   "deser" (default): MEMORY_AND_DISK_DESER -- Spark's DataFrame
+    #            default; fastest reads, largest footprint.
+    #   "ser":   MEMORY_AND_DISK -- serialized blocks; smaller cache
+    #            footprint at a CPU decode cost per consumer read.
+    #   "off":   no persist -- each consumer recomputes the (JVM-only,
+    #            codegen) key expressions from the persisted upstream;
+    #            trades recompute for zero cache population cost.
+    # A/B'd at 200k (BENCH_NOTES r5): see the measured table before
+    # changing the default.
+
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 
     def __post_init__(self) -> None:
@@ -250,6 +266,11 @@ class PipelineConfig:
                     f"simhash_bits ({bits}) must split into {m} equal blocks "
                     "whose width divides 64"
                 )
+        if self.refine_work_persist not in ("deser", "ser", "off"):
+            raise ValueError(
+                "refine_work_persist must be one of 'deser'/'ser'/'off', "
+                f"got {self.refine_work_persist!r}"
+            )
         if self.verify_pregate_perms < 1:
             # <=0 would divide by zero in the pregate margin rescale or slice
             # an empty signature whose NULL agreement silently drops every

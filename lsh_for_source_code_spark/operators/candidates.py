@@ -210,7 +210,16 @@ def _refine_mega(
             F.posexplode(F.array(*keys)).alias("_lvl", "_k"),
         )
     )
-    work = track(work.persist())
+    # Storage strategy A/B'd per VERDICT r4 next#3 (see config.
+    # refine_work_persist): cache population of this exploded table was the
+    # suspected S5 scaling residual.
+    if cfg.refine_work_persist == "deser":
+        work = track(work.persist())
+    elif cfg.refine_work_persist == "ser":
+        from pyspark import StorageLevel
+
+        work = track(work.persist(StorageLevel.MEMORY_AND_DISK))
+    # "off": no persist -- consumers recompute the codegen key expressions
     sub = work.withColumn(
         "_salt", F.pmod(F.xxhash64("file_id"), F.lit(cfg.salt_partitions))
     ).groupBy("_lvl", "band_id", "_k", "_salt").agg(

@@ -222,6 +222,43 @@ def test_candidates_mega_refinement_finds_agreeing_pairs(spark):
     assert len(got) < n * cfg.max_bucket_pairs * cfg.mega_refine_levels
 
 
+def test_candidates_refine_persist_strategies_identical(spark):
+    """config.refine_work_persist (VERDICT r4 next#3 A/B knob) is a pure
+    storage-strategy choice: deser / ser / off must produce the identical
+    candidate-pair multiset (same pairs, same n_shared_bands)."""
+    n = 300
+    rng = np.random.default_rng(23)
+    mh = rng.integers(1, 1 << 40, size=(n, CFG.num_perm)).astype("int64")
+    for a, b in ((0, 1), (5, 6)):
+        mh[b] = mh[a]
+    bands = spark.createDataFrame(
+        pd.DataFrame({"file_id": range(n), "band_id": [0] * n, "band_hash": [7] * n})
+    )
+    signed = spark.createDataFrame(
+        pd.DataFrame({"file_id": range(n), "minhash": [list(r) for r in mh]})
+    )
+    results = {}
+    for strat in ("deser", "ser", "off"):
+        cfg = replace(
+            CFG,
+            max_bucket_pairs=4,
+            mega_chunk_target=2,
+            mega_refine_levels=2,
+            refine_work_persist=strat,
+        )
+        results[strat] = sorted(
+            (r.id_a, r.id_b, r.n_shared_bands)
+            for r in candidate_pairs(bands, cfg, signed=signed).collect()
+        )
+    assert results["deser"] == results["ser"] == results["off"]
+    assert {(0, 1), (5, 6)} <= {(a, b) for a, b, _ in results["deser"]}
+
+
+def test_refine_persist_knob_validated():
+    with pytest.raises(ValueError):
+        replace(CFG, refine_work_persist="bogus")
+
+
 def test_candidates_n_shared_bands_dedup(spark):
     bands = spark.createDataFrame(
         pd.DataFrame(
