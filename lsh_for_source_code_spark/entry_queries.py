@@ -476,6 +476,41 @@ def q_near_dup_clusters_capped(spark, sf_dir):
     )
 
 
+def q_dedup_manifest(spark, sf_dir):
+    """Keeper selection per near-dup cluster -- the decision record a
+    training-data dedup job actually EMITS (keep one representative per
+    cluster, drop the rest). Representative = longest text, tie-break lowest
+    doc_id; singleton clusters keep themselves.
+
+    Scale shape: one extra hash exchange on cluster_id (bounded by the
+    survivor set, not the corpus) + a broadcast-size dim join back to the
+    documents scan for the length metric -- nothing quadratic beyond the
+    already-verified pair graph. The reference stops at pair CSVs
+    (SURVEY.md 2.4); the keep/drop manifest is the 100 TB pipeline's actual
+    output contract."""
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SUBSET_MOD == 0
+    )
+    pairs = lsh_verified_pairs(docs, FLAGSHIP_CFG, FLAGSHIP_THETA)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("file_id"))
+    clusters = connected_components(pairs.select("id_a", "id_b"), nodes=nodes)
+    sized = clusters.join(
+        docs.select(
+            F.col("doc_id").cast("long").alias("file_id"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_len"),
+        ),
+        "file_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_len"), F.asc("file_id")
+    )
+    return sized.withColumn("keeper_id", F.first("file_id").over(w)).select(
+        F.col("file_id").alias("doc_id"),
+        "keeper_id",
+        (F.col("file_id") == F.col("keeper_id")).cast("int").alias("keep"),
+    )
+
+
 def q_overlap_dup_pairs(spark, sf_dir):
     """The reference's ACTUAL pairing rule (SURVEY.md 2.4, reverse-engineered
     from the committed 70%/50% CSVs): multiset token-overlap
@@ -1216,6 +1251,7 @@ QUERIES = {
     "near_dup_pairs_k3": q_near_dup_pairs_k3,
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_clusters_capped": q_near_dup_clusters_capped,
+    "dedup_manifest": q_dedup_manifest,
     "overlap_dup_pairs": q_overlap_dup_pairs,
     "minhash_signatures": q_minhash_signatures,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
@@ -1495,6 +1531,45 @@ ORACLE = {
           SELECT rr.node, e.b FROM reach rr JOIN edges e ON e.a = rr.r
         )
         SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """,
+    # same brute-force reach CTE as near_dup_clusters, plus the keeper
+    # window: longest text wins, ties break to the lowest doc_id
+    "dedup_manifest": f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}'))) AS tok
+          FROM documents WHERE doc_id % {SUBSET_MOD} = 0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ), pairs AS (
+          SELECT ia, ib FROM inter
+          JOIN sizes sa ON ia = sa.doc_id
+          JOIN sizes sb ON ib = sb.doc_id
+          WHERE i::DOUBLE / (sa.n + sb.n - i) >= {FLAGSHIP_THETA}
+        ), edges AS (
+          SELECT ia AS a, ib AS b FROM pairs
+          UNION SELECT ib, ia FROM pairs
+        ), reach(node, r) AS (
+          SELECT doc_id, doc_id FROM documents WHERE doc_id % {SUBSET_MOD} = 0
+          UNION
+          SELECT rr.node, e.b FROM reach rr JOIN edges e ON e.a = rr.r
+        ), clusters AS (
+          SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT doc_id, keeper_id,
+               CASE WHEN doc_id = keeper_id THEN 1 ELSE 0 END AS keep
+        FROM (
+          SELECT c.doc_id AS doc_id,
+                 first_value(c.doc_id) OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY length(coalesce(d.text, '')) DESC, c.doc_id ASC
+                 ) AS keeper_id
+          FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+        )
     """,
     # identical brute-force cluster oracle: the capped query must reproduce
     # the UNCAPPED ground truth (capping only removes candidate edges, so a
