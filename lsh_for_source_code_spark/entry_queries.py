@@ -511,6 +511,55 @@ def q_dedup_manifest(spark, sf_dir):
     )
 
 
+def q_dedup_tier_report(spark, sf_dir):
+    """Tiered dedup retention report -- the cascade a web-scale training-data
+    job actually runs: tier 1 exact dedup (sha-groupBy, cheap) shrinks the
+    corpus and ONLY its survivors feed tier 2 MinHash-LSH near-dedup; the
+    report aggregates docs/bytes per disposition (exact_dup / near_dup /
+    keeper).
+
+    Scale shape: tier 1 exchanges on a 64-hex content_sha (never the text);
+    tier 2 runs the flagship LSH pipeline on the already-shrunken survivor
+    set -- the reason production cascades exact before LSH at 100 TB. The
+    near-tier keeper is min(doc_id), which IS the connected-components
+    representative, so no extra window pass is needed. The reference stops
+    at pair CSVs (SURVEY.md 2.4); the retention report is the pipeline's
+    accounting contract."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % SUBSET_MOD == 0)
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.sha2(F.coalesce("text", F.lit("")), 256).alias("_sha"),
+        )
+    )
+    tagged = docs.withColumn(
+        "_exact_keeper", F.min("doc_id").over(Window.partitionBy("_sha"))
+    )
+    survivors = tagged.filter(F.col("doc_id") == F.col("_exact_keeper"))
+    pairs = lsh_verified_pairs(
+        survivors.select("doc_id", "text"), FLAGSHIP_CFG, FLAGSHIP_THETA
+    )
+    nodes = survivors.select(F.col("doc_id").cast("long").alias("file_id"))
+    clusters = connected_components(pairs.select("id_a", "id_b"), nodes=nodes)
+    near = clusters.select(
+        F.col("file_id").alias("doc_id"),
+        F.when(F.col("file_id") == F.col("cluster_id"), F.lit("keeper"))
+        .otherwise(F.lit("near_dup"))
+        .alias("tier"),
+    )
+    tiers = (
+        tagged.select("doc_id", F.length("text").alias("_len"))
+        .join(near, "doc_id", "left")
+        .withColumn("tier", F.coalesce("tier", F.lit("exact_dup")))
+    )
+    return tiers.groupBy("tier").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_len").cast("long").alias("n_bytes"),
+    )
+
+
 def q_overlap_dup_pairs(spark, sf_dir):
     """The reference's ACTUAL pairing rule (SURVEY.md 2.4, reverse-engineered
     from the committed 70%/50% CSVs): multiset token-overlap
@@ -1252,6 +1301,7 @@ QUERIES = {
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_clusters_capped": q_near_dup_clusters_capped,
     "dedup_manifest": q_dedup_manifest,
+    "dedup_tier_report": q_dedup_tier_report,
     "overlap_dup_pairs": q_overlap_dup_pairs,
     "minhash_signatures": q_minhash_signatures,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
@@ -1570,6 +1620,52 @@ ORACLE = {
                  ) AS keeper_id
           FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
         )
+    """,
+    # tier cascade: exact keepers by raw-text grouping (== Spark's sha
+    # grouping, collision-free), then the same brute-force token-jaccard
+    # reach CTE restricted to exact-tier survivors, then the per-tier rollup
+    "dedup_tier_report": f"""
+        WITH RECURSIVE sub AS (
+          SELECT doc_id, coalesce(text, '') AS t
+          FROM documents WHERE doc_id % {SUBSET_MOD} = 0
+        ), exact_keep AS (
+          SELECT t, min(doc_id) AS keeper FROM sub GROUP BY t
+        ), surv AS (
+          SELECT s.doc_id, s.t FROM sub s
+          JOIN exact_keep k ON s.t = k.t AND s.doc_id = k.keeper
+        ), toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(regexp_extract_all(t, '{_TOKEN_RE_SQL}'))) AS tok
+          FROM surv
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ), pairs AS (
+          SELECT ia, ib FROM inter
+          JOIN sizes sa ON ia = sa.doc_id
+          JOIN sizes sb ON ib = sb.doc_id
+          WHERE i::DOUBLE / (sa.n + sb.n - i) >= {FLAGSHIP_THETA}
+        ), edges AS (
+          SELECT ia AS a, ib AS b FROM pairs
+          UNION SELECT ib, ia FROM pairs
+        ), reach(node, r) AS (
+          SELECT doc_id, doc_id FROM surv
+          UNION
+          SELECT rr.node, e.b FROM reach rr JOIN edges e ON e.a = rr.r
+        ), clusters AS (
+          SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        ), tiers AS (
+          SELECT s.doc_id, length(s.t) AS len,
+                 CASE WHEN c.doc_id IS NULL THEN 'exact_dup'
+                      WHEN c.doc_id = c.cluster_id THEN 'keeper'
+                      ELSE 'near_dup' END AS tier
+          FROM sub s LEFT JOIN clusters c ON s.doc_id = c.doc_id
+        )
+        SELECT tier, count(*)::BIGINT AS n_docs, sum(len)::BIGINT AS n_bytes
+        FROM tiers GROUP BY tier
     """,
     # identical brute-force cluster oracle: the capped query must reproduce
     # the UNCAPPED ground truth (capping only removes candidate edges, so a

@@ -20,7 +20,9 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
-STRATS = ("deser", "ser", "off")
+STRATS = tuple(
+    os.environ.get("SPARK_GRAFT_AB_STRATS", "deser,ser,off").split(",")
+)
 
 
 def run_child(cpus: int, strat: str) -> dict:
