@@ -1236,6 +1236,192 @@ def q_lcs_containment_pairs(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data curation queries (round 5). No reference counterpart -- the
+# reference stops at LSH dedup (LocSenHash.java); these are the surrounding
+# curation ops a 100 TB training-data pipeline runs over the same scan:
+# benchmark decontamination, repetition-quality filtering, PII scrubbing,
+# and deterministic (re-runnable) stratified sampling.
+
+_DECON_N = 8  # word-n-gram order for the contamination check
+_DECON_BENCH_MOD = 13  # doc_id % 13 == 0 plays the held-out benchmark set
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_NUM = r"\d{13,19}"
+
+
+def q_decontamination_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs whose word 8-grams overlap
+    a held-out benchmark set (here the deterministic doc_id % 13 == 0 slice).
+
+    The 100 TB shape: any real eval suite's gram set is a few MB, so it
+    BROADCASTS; the corpus side is one scan + explode + map-side-combinable
+    count -- no shuffle of corpus text, no self-join.
+    """
+    n = _DECON_N
+    ex = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", _tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.when(
+                    F.size("t") >= n,
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {n - 1}),"
+                        f" i -> array_join(slice(t, i, {n}), ' '))"
+                    ),
+                ).otherwise(F.expr("array()").cast("array<string>"))
+            ).alias("grams"),
+        )
+        .select("doc_id", F.explode_outer("grams").alias("g"))
+    )
+    bench = (
+        ex.filter((F.col("doc_id") % _DECON_BENCH_MOD == 0) & F.col("g").isNotNull())
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    agg = (
+        ex.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count("g").alias("n_grams"), F.count("hit").alias("n_hits"))
+    )
+    ratio = F.round(
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_hits").cast("double") / F.col("n_grams"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        ratio.alias("contam_ratio"),
+        (ratio >= 0.5).alias("contaminated"),
+    )
+
+
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-style repetition-quality signals: distinct-token ratio and the
+    token fraction covered by the most frequent bigram. Exploded bigram
+    counting (map-side combine) rather than per-row quadratic array ops, so
+    long documents stay linear."""
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", _tokens(F.lower(F.col("text"))).alias("t"))
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.size(F.array_distinct("t")).alias("n_distinct"),
+            F.when(
+                F.size("t") >= 2,
+                # Spark SQL array indexing is 0-based: pairs (i-1, i)
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(t[i - 1], ' ', t[i]))"
+                ),
+            )
+            .otherwise(F.expr("array()").cast("array<string>"))
+            .alias("bg"),
+        )
+    )
+    mx = (
+        base.select("doc_id", F.explode("bg").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_bg"))
+    )
+    j = base.drop("bg").join(mx, "doc_id", "left")
+    dr = F.round(
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_distinct").cast("double") / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    tb = F.round(
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.lit(2.0) * F.coalesce(F.col("max_bg"), F.lit(0)) / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        dr.alias("distinct_ratio"),
+        tb.alias("top_bigram_frac"),
+        ((dr < 0.3) | (tb >= 0.2)).alias("repetitive"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / 13-19-digit runs): per-doc match counts
+    plus the sha256 of the redacted text. A deterministic subset
+    (doc_id % 7 == 0) gets synthetic PII appended IN-QUERY -- the same string
+    expression on both engines -- so the scrubber is actually exercised
+    (the testdata corpus contains no digits). Pure JVM regexp, scan-parallel.
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    synth = F.concat(
+        text,
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".42 card 4111111111111111"),
+    )
+    aug = F.when(F.col("doc_id") % 7 == 0, synth).otherwise(text)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_NUM,
+        "<NUM>",
+    )
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_IP)).alias("n_ips"),
+        F.regexp_count(aug, F.lit(_PII_NUM)).alias("n_longnums"),
+        F.sha2(red, 256).alias("redacted_sha"),
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified-sampling accounting: a ~20% per-lang sample
+    keyed on two rounds of the MINSTD Lehmer hash (x -> 48271*x mod 2^31-1)
+    over doc_id -- reproducible across engines, runs, and partitionings (no
+    RNG state, no sample() nondeterminism), overflow-free in int64 at any
+    corpus size. One map-side-combinable aggregation."""
+    m = 2147483647  # 2^31 - 1 (prime; Lehmer-safe modulus)
+    x = (F.col("doc_id").cast("long") % m) + 1
+    h1 = (x * F.lit(48271)) % m
+    h2 = (h1 * F.lit(48271)) % m
+    sampled = (h2 % 100) < 20
+    return (
+        _read(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(sampled.cast("long")).alias("n_sampled"),
+        )
+        .select(
+            "lang",
+            "n_total",
+            "n_sampled",
+            F.round(
+                F.col("n_sampled").cast("double") / F.col("n_total"), 6
+            ).alias("sample_rate"),
+        )
+    )
+
+
 #: shared CTE chain: winnowing per the SIGMOD'03 definition in pure SQL.
 #: k=5, w=8, B=263 (exact int64, no modulus -- both engines bit-agree);
 #: windows of 8 k-gram hashes (whole doc if fewer), rightmost minimum.
@@ -1318,6 +1504,10 @@ QUERIES = {
     "media_features": q_media_features,
     "simhash_winnow": q_simhash_winnow,
     "sessionize_events": q_sessionize_events,
+    "decontamination_overlap": q_decontamination_overlap,
+    "repetition_profile": q_repetition_profile,
+    "pii_scrub": q_pii_scrub,
+    "sample_stratified": q_sample_stratified,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -1785,5 +1975,103 @@ ORACLE = {
         SELECT doc_id,
                sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END)::BIGINT AS simhash16
         FROM sums GROUP BY doc_id
+    """,
+    # word-8-gram containment vs the doc_id%13==0 benchmark slice;
+    # DuckDB list slicing t[i:i+7] is 1-based inclusive = 8 tokens
+    "decontamination_overlap": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}') AS t
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+          FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)
+        ), bench AS (
+          SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0
+        ), stats AS (
+          SELECT gr.doc_id, count(*) AS n_grams, count(b.g) AS n_hits
+          FROM grams gr LEFT JOIN bench b ON gr.g = b.g
+          WHERE gr.doc_id % 13 <> 0
+          GROUP BY 1
+        ), scored AS (
+          SELECT d.doc_id,
+                 coalesce(s.n_grams, 0) AS n_grams,
+                 coalesce(s.n_hits, 0) AS n_hits,
+                 CASE WHEN coalesce(s.n_grams, 0) > 0
+                      THEN round(coalesce(s.n_hits, 0)::DOUBLE / s.n_grams, 6)
+                      ELSE 0.0 END AS contam_ratio
+          FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+          WHERE d.doc_id % 13 <> 0
+        )
+        SELECT doc_id, n_grams, n_hits, contam_ratio,
+               contam_ratio >= 0.5 AS contaminated
+        FROM scored
+    """,
+    "repetition_profile": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')),
+                                    '{_TOKEN_RE_SQL}') AS t
+          FROM documents
+        ), bg AS (
+          SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+          FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+        ), bgc AS (
+          SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+        ), mx AS (
+          SELECT doc_id, max(c) AS max_bg FROM bgc GROUP BY 1
+        ), scored AS (
+          SELECT k.doc_id, len(k.t) AS n_tokens,
+                 CASE WHEN len(k.t) > 0
+                      THEN round(len(list_distinct(k.t))::DOUBLE / len(k.t), 6)
+                      ELSE 0.0 END AS distinct_ratio,
+                 CASE WHEN len(k.t) >= 2
+                      THEN round(2.0 * coalesce(m.max_bg, 0) / len(k.t), 6)
+                      ELSE 0.0 END AS top_bigram_frac
+          FROM toks k LEFT JOIN mx m ON k.doc_id = m.doc_id
+        )
+        SELECT doc_id, n_tokens, distinct_ratio, top_bigram_frac,
+               (distinct_ratio < 0.3 OR top_bigram_frac >= 0.2) AS repetitive
+        FROM scored
+    """,
+    "pii_scrub": r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN coalesce(text, '') || ' contact user'
+                           || doc_id::VARCHAR || '@example.com ip 10.0.'
+                           || (doc_id % 256)::VARCHAR
+                           || '.42 card 4111111111111111'
+                      ELSE coalesce(text, '') END AS a
+          FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(a,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS n_emails,
+               len(regexp_extract_all(a,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+               len(regexp_extract_all(a, '\d{13,19}')) AS n_longnums,
+               sha256(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(a,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\d{13,19}', '<NUM>', 'g')) AS redacted_sha
+        FROM aug
+    """,
+    # two MINSTD Lehmer rounds over doc_id: reproducible 20% sample
+    "sample_stratified": """
+        SELECT lang, count(*) AS n_total,
+               count(*) FILTER (WHERE
+                 ((((doc_id % 2147483647) + 1) * 48271 % 2147483647)
+                   * 48271 % 2147483647) % 100 < 20) AS n_sampled,
+               round((count(*) FILTER (WHERE
+                 ((((doc_id % 2147483647) + 1) * 48271 % 2147483647)
+                   * 48271 % 2147483647) % 100 < 20))::DOUBLE / count(*), 6)
+                 AS sample_rate
+        FROM documents GROUP BY lang
     """,
 }

@@ -43,6 +43,10 @@ _AUDITED = [
     "lcs_containment_pairs",
     "simhash_winnow",
     "media_features",
+    "decontamination_overlap",
+    "repetition_profile",
+    "pii_scrub",
+    "sample_stratified",
 ]
 
 
@@ -65,6 +69,10 @@ def test_no_cartesian_product(spark, name):
         # bounded 12-row pair dim: non-equi join must broadcast, never
         # cartesian-shuffle
         assert "BroadcastNestedLoopJoin" in p
+    if name == "decontamination_overlap":
+        # the benchmark gram set is the small side: it must broadcast so
+        # the corpus text never shuffles
+        assert "BroadcastHashJoin" in p
 
 
 def test_scan_column_pruning(spark):
