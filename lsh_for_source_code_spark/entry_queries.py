@@ -748,6 +748,64 @@ def q_embedding_ann_lsh(spark, sf_dir):
     )
 
 
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (the second scale path next to the hyperplane-LSH one):
+    coarse-quantize every vector to its nearest centroid cell, probe only the
+    query's top-2 cells, exact-cosine re-rank inside the probed cells.
+
+    Centroids here are a deterministic corpus sample (vec_id % 31 == 0) so
+    BOTH engines derive them from the data with no out-of-band artifact; a
+    production run swaps in k-means-trained centroids (a tiny driver-side
+    artifact) with the IDENTICAL plan shape. The 100 TB shape: the centroid
+    set broadcasts (C ~ sqrt(N) rows), assignment is one scan + per-row
+    argmax, the probe set (n_queries x nprobe rows) broadcasts, and only the
+    probed cells' vectors are re-ranked -- never an all-pairs join. Rounding
+    to 6dp before the argmax keeps cell assignment bit-stable across engines
+    (same convention as the hyperplane sketches)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("s"), F.asc("cell_id")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("s", F.round(_cosine(F.col("v"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assign = scored.filter(F.col("rn") == 1).select("vec_id", "cell_id")
+    probes = scored.filter((F.col("vec_id") < 10) & (F.col("rn") <= 2)).select(
+        F.col("vec_id").alias("query_id"), "cell_id"
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cos_raw", _cosine(F.col("qv"), F.col("nv")))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            F.col("neighbor_id"),
+            F.round("cos_raw", 4).alias("cos_sim"),
+        )
+    )
+
+
 #: deterministic hyperplane bank for the ORACLE-CHECKED ANN recall query:
 #: same (tables, bits, dim, seed) family as q_embedding_ann_lsh. The plane
 #: coefficients are inlined as FULL-PRECISION literals into both the Spark
@@ -1504,6 +1562,7 @@ QUERIES = {
     "media_features": q_media_features,
     "simhash_winnow": q_simhash_winnow,
     "sessionize_events": q_sessionize_events,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "decontamination_overlap": q_decontamination_overlap,
     "repetition_profile": q_repetition_profile,
     "pii_scrub": q_pii_scrub,
@@ -1975,6 +2034,43 @@ ORACLE = {
         SELECT doc_id,
                sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END)::BIGINT AS simhash16
         FROM sums GROUP BY doc_id
+    """,
+    # IVF coarse-quantize -> probe top-2 cells -> exact re-rank; centroids
+    # are the deterministic vec_id%31 sample so both engines derive them
+    "embedding_ivf_topk": """
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cents AS (
+          SELECT vec_id AS cell_id, v AS cv FROM emb WHERE vec_id % 31 = 0
+        ), scored AS (
+          SELECT e.vec_id, c.cell_id,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                            c.cell_id ASC) AS rn
+          FROM emb e CROSS JOIN cents c
+        ), assign AS (
+          SELECT vec_id, cell_id FROM scored WHERE rn = 1
+        ), probes AS (
+          SELECT vec_id AS query_id, cell_id
+          FROM scored WHERE vec_id < 10 AND rn <= 2
+        ), cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+          WHERE a.vec_id != p.query_id
+        ), rerank AS (
+          SELECT c.query_id, c.neighbor_id,
+                 list_cosine_similarity(q.v, n.v) AS cos_raw,
+                 row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY list_cosine_similarity(q.v, n.v) DESC,
+                            c.neighbor_id ASC) AS rn
+          FROM cand c
+          JOIN emb q ON q.vec_id = c.query_id
+          JOIN emb n ON n.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim
+        FROM rerank WHERE rn <= 5
     """,
     # word-8-gram containment vs the doc_id%13==0 benchmark slice;
     # DuckDB list slicing t[i:i+7] is 1-based inclusive = 8 tokens

@@ -115,6 +115,27 @@ def test_embedding_ann_recall_vs_exact(spark):
     assert recall >= 0.5, f"ANN recall@5 = {recall:.3f} ({len(exact)} exact pairs)"
 
 
+def test_embedding_ivf_recall_vs_exact(spark):
+    """IVF (coarse-quantize -> probe top-2 of ~17 cells -> exact re-rank)
+    vs the exact brute-force top-5. Unstructured embeddings are also the
+    hardest regime for IVF (true neighbors scatter across cells), so the
+    floor is modest; the probed fraction is ~2/17 ~ 12% of the corpus, far
+    below the ANN-LSH query's ~50% scan at similar recall."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["embedding_topk"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["embedding_ivf_topk"](spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"IVF recall@5 = {recall:.3f} ({len(exact)} exact pairs)"
+
+
 def test_ann_planted_high_similarity_regime(spark):
     """The 100 TB dedup regime: planted near-dup neighbors at cos >= 0.9.
     b=12-bit sketches x L=8 tables must find them with recall >= 0.9 while

@@ -43,6 +43,7 @@ _AUDITED = [
     "lcs_containment_pairs",
     "simhash_winnow",
     "media_features",
+    "embedding_ivf_topk",
     "decontamination_overlap",
     "repetition_profile",
     "pii_scrub",
