@@ -273,6 +273,89 @@ def q_top_customer_per_nation(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): 3-table join with date-window
+    predicates on BOTH fact tables, revenue aggregate, global top-10.
+
+    The 100 TB plan: both date predicates push to the parquet scans
+    (PushedFilters), the filtered customer dim BROADCASTS so the fact join
+    keys never reshuffle for it, orders><lineitem shuffles once on the
+    order key, the aggregate combines map-side, and the global ordering is
+    a TakeOrderedAndProject (per-partition top-k then a k-row merge at the
+    driver), never a full sort of the aggregate output. Revenue is rounded
+    to 2dp BEFORE the order-by on both engines so the top-10 boundary and
+    tie-break (l_orderkey) are engine-independent."""
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): 6-table snowflake join --
+    lineitem >< orders >< customer >< supplier >< nation >< region -- with
+    the Q5 co-location condition (customer and supplier in the SAME nation)
+    and a one-year order-date window.
+
+    The 100 TB plan: region->nation collapses to a broadcast chain before
+    touching any fact table; supplier (with its nation equi-condition
+    riding the same join) and the 5-row nation dim broadcast; the
+    order-date window pushes to the orders scan; the only shuffles are the
+    two fact-side equi-joins (lineitem><orders on the order key,
+    +customer on the cust key) and the final 5-group aggregate combines
+    map-side."""
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = (
+        _read(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregation over event time (streaming-shaped op in
     batch form; watermark semantics live in streaming/incremental.py)."""
@@ -674,6 +757,81 @@ def q_containment_pipeline(spark, sf_dir):
         "id_b",
         F.round("jaccard", 6).alias("jaccard"),
         F.round("lcs_containment", 6).alias("lcs_containment"),
+    )
+
+
+def q_pipeline_lineage(spark, sf_dir):
+    """Rows-only: driver-visible proof of the north_rule's "resumable from
+    checkpoint with per-partition lineage + metrics" clause (reference
+    counterpart: the stage-boundary durability files `Main.java:20,52`,
+    which persist stage OUTPUT but carry no lineage or metrics at all).
+
+    Runs the FULL seven-stage checkpointed pipeline twice against one fresh
+    checkpoint root on the flagship subset. Run 1 must COMPUTE and persist
+    every stage, each with a per-partition lineage fingerprint
+    (`<stage>__partitions`: partition_id, rows, bytes_est -- collected
+    distributed via mapInPandas from the files actually written, never at
+    the driver); run 2 must RESUME every stage from the store without
+    recomputation. Emits one row per stage: its row count re-read from the
+    checkpoint, the row total re-counted from the lineage fingerprints
+    (must agree -- the fingerprint derives from the persisted partitions,
+    not the driver's ledger), the fingerprint's partition count, and both
+    runs' recorded metric actions (computed / resumed)."""
+    import tempfile
+
+    from lsh_for_source_code_spark.plans.pipeline import run_pipeline
+
+    root = tempfile.mkdtemp(prefix="spark_graft_lineage_q_")
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SUBSET_MOD == 0
+    )
+    # the input_hint shape (repo, path, commit, lang, content): run the
+    # PRODUCTION entry point, including its natural-key file_id assignment
+    files = docs.select(
+        F.lit("corpus").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    stages = [
+        "files_shingled",
+        "exact_dup_edges",
+        "signatures",
+        "bands",
+        "candidate_pairs",
+        "verified_pairs",
+        "clusters",
+    ]
+    actions = []
+    for _ in range(2):
+        res = run_pipeline(spark, files, FLAGSHIP_CFG, checkpoint_dir=root)
+        actions.append(
+            {e["stage"]: e["action"] for e in res["_store"].metrics.events}
+        )
+    rows = []
+    for i, st in enumerate(stages):
+        pstats = (
+            spark.read.parquet(f"{root}/{st}__partitions")
+            .agg(F.sum("rows").alias("r"), F.count("*").alias("p"))
+            .first()
+        )
+        n = spark.read.parquet(f"{root}/{st}").count()
+        rows.append(
+            (
+                i,
+                st,
+                n,
+                int(pstats.r),
+                int(pstats.p),
+                actions[0].get(st, ""),
+                actions[1].get(st, ""),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "stage_idx int, stage string, rows bigint, lineage_rows bigint, "
+        "lineage_parts int, run1_action string, run2_action string",
     )
 
 
@@ -1538,6 +1696,9 @@ QUERIES = {
     "broadcast_dim_join": q_broadcast_dim_join,
     "agg_lineitem": q_agg_lineitem,
     "top_customer_per_nation": q_top_customer_per_nation,
+    "shipping_priority": q_shipping_priority,
+    "regional_revenue": q_regional_revenue,
+    "pipeline_lineage": q_pipeline_lineage,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "kgram_profile": q_kgram_profile,
     "near_dup_pairs": q_near_dup_pairs,
@@ -1694,6 +1855,39 @@ ORACLE = {
                round(avg(l_discount), 6) AS avg_disc,
                count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    # TPC-H Q3 shape; ORDER BY the ROUNDED revenue + orderkey so the top-10
+    # boundary is engine-independent
+    "shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    # TPC-H Q5 shape: customer and supplier in the SAME nation, one-year
+    # order window, revenue per nation of an ASIA region
+    "regional_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
     """,
     "top_customer_per_nation": """
         SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal FROM (

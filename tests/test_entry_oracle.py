@@ -202,3 +202,17 @@ def test_containment_pipeline_finds_planted_fragments(spark):
         r.id_b - 10_000_000 for r in rows if r.id_a == r.id_b - 10_000_000
     }
     assert len(matched_sources) >= 5
+
+
+def test_pipeline_lineage_resume_and_fingerprints(spark):
+    """north_rule "resumable from checkpoint with per-partition lineage +
+    metrics", driver-visible: run 1 computes every stage, run 2 resumes
+    every stage, and each stage's per-partition lineage fingerprint
+    re-counts to exactly the stage's persisted row count."""
+    rows = entry_mod.queries()["pipeline_lineage"](spark, SF_DIR).collect()
+    assert len(rows) == 7
+    assert [r.stage for r in rows][0] == "files_shingled"
+    assert all(r.run1_action == "computed" for r in rows), rows
+    assert all(r.run2_action == "resumed" for r in rows), rows
+    assert all(r.lineage_rows == r.rows for r in rows), rows
+    assert all(r.lineage_parts >= 1 for r in rows)

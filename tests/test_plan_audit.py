@@ -44,6 +44,8 @@ _AUDITED = [
     "simhash_winnow",
     "media_features",
     "embedding_ivf_topk",
+    "shipping_priority",
+    "regional_revenue",
     "decontamination_overlap",
     "repetition_profile",
     "pii_scrub",
@@ -74,6 +76,24 @@ def test_no_cartesian_product(spark, name):
         # the benchmark gram set is the small side: it must broadcast so
         # the corpus text never shuffles
         assert "BroadcastHashJoin" in p
+
+
+def test_tpch_join_shapes(spark):
+    """The TPC-H-shaped queries must compile to the 100 TB plans their
+    docstrings promise: dims broadcast, date windows push to the scans,
+    the global top-10 is a TakeOrdered (never a full sort)."""
+    p = _plan(spark, QUERIES["shipping_priority"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p  # filtered customer dim
+    assert "TakeOrderedAndProject" in p, "global top-10 must not full-sort"
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("LessThan(o_orderdate" in ln for ln in pushed), pushed
+    assert any("GreaterThan(l_shipdate" in ln for ln in pushed), pushed
+    p = _plan(spark, QUERIES["regional_revenue"](spark, SF_DIR))
+    # supplier (+co-nation condition) and region->nation both broadcast;
+    # only the fact-side equi-joins may shuffle
+    assert p.count("BroadcastHashJoin") >= 3, p[:2000]
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), pushed
 
 
 def test_scan_column_pruning(spark):
