@@ -29,6 +29,7 @@ from lsh_for_source_code_spark.operators.candidates import (
 )
 from lsh_for_source_code_spark.operators.components import connected_components
 from lsh_for_source_code_spark.operators.verify import verify_pairs
+from lsh_for_source_code_spark.streaming.incremental import incremental_update
 
 STOPWORDS = ["the", "and", "of", "to", "in", "is", "that", "it", "for", "on"]
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -482,6 +483,44 @@ def q_near_dup_pairs(spark, sf_dir):
         F.col("doc_id") % SUBSET_MOD == 0
     )
     return lsh_verified_pairs(docs, FLAGSHIP_CFG, FLAGSHIP_THETA)
+
+
+def q_delta_dedup(spark, sf_dir):
+    """Incremental (delta) dedup, driver-visible: the corpus half with
+    doc_id % 10 == 5 is the ALREADY-INDEXED base (its shingles / signatures
+    / bands play the role of the checkpoint tables); the half with
+    doc_id % 10 == 0 arrives as the new batch. `incremental_update`
+    (streaming/incremental.py; reference counterpart: the one-vector
+    binning entry point `LSHMinHash.java:103-105`) signs and bands ONLY the
+    delta, restricts candidate generation to buckets the delta touches
+    (left-semi pushdown on the band key), and verifies only pairs with at
+    least one new file -- at 10^12 files the difference between
+    re-shuffling the world and shuffling the day's commits. Output: every
+    jaccard >= 0.9 pair involving a new doc (new-new and new-old alike),
+    which the oracle reproduces by brute force over the full subset."""
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SUBSET_MOD == 0
+    )
+    cfg = FLAGSHIP_CFG
+    known_shingled = track(
+        shingle_files(
+            _docs_as_files(docs.filter(F.col("doc_id") % 10 == 5)),
+            k=cfg.shingle_k,
+            min_freq=cfg.min_token_freq,
+        )
+        .select("file_id", "content_sha", "n_tokens", "shingles", "counts")
+        .persist()
+    )
+    known_bands = band_files(sign_files(known_shingled, cfg), cfg)
+    out = incremental_update(
+        _docs_as_files(docs.filter(F.col("doc_id") % 10 == 0)),
+        known_shingled,
+        known_bands,
+        cfg,
+    )
+    return out["verified_new_pairs"].select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 def q_near_dup_clusters(spark, sf_dir):
@@ -1703,6 +1742,7 @@ QUERIES = {
     "kgram_profile": q_kgram_profile,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_pairs_k3": q_near_dup_pairs_k3,
+    "delta_dedup": q_delta_dedup,
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_clusters_capped": q_near_dup_clusters_capped,
     "dedup_manifest": q_dedup_manifest,
@@ -1951,6 +1991,28 @@ ORACLE = {
         JOIN sizes sa ON ia = sa.doc_id
         JOIN sizes sb ON ib = sb.doc_id
         WHERE i::DOUBLE / (sa.n + sb.n - i) >= {FLAGSHIP_THETA}
+    """,
+    # incremental dedup: brute-force ground truth restricted to pairs with
+    # at least one NEW doc (doc_id % 10 = 0); base docs are % 10 = 5
+    "delta_dedup": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}'))) AS tok
+          FROM documents WHERE doc_id % {SUBSET_MOD} = 0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT ia AS id_a, ib AS id_b,
+               round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON ia = sa.doc_id
+        JOIN sizes sb ON ib = sb.doc_id
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= {FLAGSHIP_THETA}
+          AND (ia % 10 = 0 OR ib % 10 = 0)
     """,
     "near_dup_pairs_k3": f"""
         WITH tl AS (

@@ -28,6 +28,7 @@ SF_DIR = "/root/testdata/sf0.001"
 _AUDITED = [
     "near_dup_pairs",
     "near_dup_pairs_k3",
+    "delta_dedup",
     "overlap_dup_pairs",
     "ngram_jaccard_pairs",
     "simhash_hamming_pairs",
