@@ -387,13 +387,51 @@ def _phase_section_lines() -> list[str]:
     return lines
 
 
+#: hand-authored analysis sections preserved across BENCH.md rewrites
+#: (--scaling / --phase-scaling regenerate the measured tables; these
+#: carry the measurement DISPOSITIONS, with full data in BENCH_NOTES)
+_EPILOGUE = """
+r5 S5 disposition (VERDICT r4 next#3, full data in BENCH_NOTES #18):
+the candidate_pairs sub-0.8 residual is PINNED, not persist-attributable.
+A/B of the refine-work storage strategy (MEMORY_AND_DISK deserialized /
+serialized / no persist; 3 interleaved reps at local[2] and local[8],
+bit-identical 115,269 clusters in all 12 runs) shows: removing the
+persist entirely moves S5 efficiency only 0.609 -> 0.687 while COSTING
+absolute wall at both levels (its 2-core wall worsens 121.6 -> 138.1s;
+the efficiency metric rewards the wasted low-parallelism work), and a
+serialized persist is strictly worse than both. The residual matches
+the stage's irreducible profile -- the only stage that both populates
+a multi-GB cache and runs two salted shuffle rounds over the exploded
+table, i.e. memory-bus-bound work a single box cannot parallelize
+(same host-saturation signature as the raw-numpy envelope above).
+`refine_work_persist=deser` stays the default (best absolute wall);
+the knob ships for cluster operators with different recompute-vs-cache
+economics.
+
+## Corpus-size scaling (data axis, r5)
+
+Same pipeline, local[32], 200k vs 400k files (details BENCH_NOTES #19):
+clean-window wall 99.6s -> 186.5s = 1.87x for 2.0x data; throughput
+2,009 -> 2,145 files/s. Candidates 17.46M -> 32.15M (1.84x), verified
+pairs 2.03x, clusters 2.01x -- candidate volume is linear in corpus
+size, so doubling data doubles work, never squares it. Counts
+bit-identical across reps at both sizes.
+"""
+
+
 def _refresh_phase_section():
     path = os.path.join(REPO, "BENCH.md")
     text = open(path).read() if os.path.exists(path) else "# BENCH\n"
     if _PHASE_HDR in text:
         text = text[: text.index(_PHASE_HDR)].rstrip() + "\n"
     with open(path, "w") as f:
-        f.write(text.rstrip() + "\n" + "\n".join(_phase_section_lines()) + "\n")
+        f.write(
+            text.rstrip()
+            + "\n"
+            + "\n".join(_phase_section_lines())
+            + "\n"
+            + _EPILOGUE
+        )
 
 
 def _hw_cpu_light(_):
@@ -441,6 +479,43 @@ def _hardware_baseline() -> dict:
     return out
 
 
+_SAMPLES_PATH = os.path.join(REPO, "BENCH_SCALING_SAMPLES.json")
+
+
+def _load_sample_log() -> list[dict]:
+    if os.path.exists(_SAMPLES_PATH):
+        with open(_SAMPLES_PATH) as f:
+            return json.load(f)
+    return []
+
+
+def _pooled_stats(log: list[dict]) -> dict:
+    """Median files/sec per level POOLED across every recorded measurement
+    window (same job, same input, same default config in all of them --
+    output counts are bit-identical across windows, asserted per run).
+    Window-to-window host variance on this shared box swings the per-window
+    N->4N efficiency by ~0.1 (BENCH_NOTES); pooling all raw samples is the
+    variance-robust estimator."""
+    import statistics
+
+    walls: dict[int, list[float]] = {2: [], 8: [], 32: []}
+    for run in log:
+        for lvl, ws in run["wall_sec_samples"].items():
+            walls[int(lvl)].extend(ws)
+    fps = {
+        lvl: BENCH_FILES / statistics.median(ws)
+        for lvl, ws in walls.items()
+        if ws
+    }
+    out = {"files_per_sec": {k: round(v, 1) for k, v in fps.items()}}
+    if 2 in fps and 8 in fps:
+        out["eff_2_to_8"] = round((fps[8] / fps[2]) / 4.0, 3)
+    if 8 in fps and 32 in fps:
+        out["eff_8_to_32"] = round((fps[32] / fps[8]) / 4.0, 3)
+    out["n_samples"] = {k: len(v) for k, v in walls.items()}
+    return out
+
+
 def scaling():
     """Identical job + identical input at N and 4N cores (local[2] vs
     local[8]) -- the driver-sanctioned sandbox substitution for N vs 4N
@@ -451,7 +526,9 @@ def scaling():
     MEDIAN OF `reps` RUNS per level (NOTES r1 item 1/7: identical runs on
     this shared host swing up to 2x; single samples are meaningless).
     Levels interleave (2,8,32,2,8,32,...) so slow host phases hit all
-    levels, not one."""
+    levels, not one. Every raw sample is appended to
+    BENCH_SCALING_SAMPLES.json; BENCH.md reports this window's medians AND
+    the pooled-across-windows medians (the variance-robust number)."""
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     levels = (2, 8, 32)
     samples: dict[int, list[dict]] = {c: [] for c in levels}
@@ -492,20 +569,56 @@ def scaling():
     t32 = results[32]["files_per_sec"]
     eff = (t8 / t2) / 4.0
     eff_8_32 = (t32 / t8) / 4.0
+
+    sha = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    log = _load_sample_log()
+    log.append(
+        {
+            "ts": time.time(),
+            "git_sha": sha,
+            "reps": reps,
+            "wall_sec_samples": {
+                str(c): [r["wall_sec"] for r in samples[c]] for c in levels
+            },
+            "counts": {
+                "candidate_pairs": results[2].get("candidate_pairs"),
+                "verified_pairs": results[2]["verified_pairs"],
+                "clusters": results[2]["n_clusters"],
+            },
+            "eff_2_to_8": round(eff, 3),
+            "hw": hw,
+        }
+    )
+    with open(_SAMPLES_PATH, "w") as f:
+        json.dump(log, f, indent=1)
+    pooled = _pooled_stats(log)
+
     summary = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff, 3),
         "unit": "ratio",
         "files_per_sec": {"local2": t2, "local8": t8, "local32": t32},
         "efficiency_8_to_32": round(eff_8_32, 3),
+        "pooled": pooled,
         "hardware_baseline": hw,
         "detail": results,
     }
     print(json.dumps(summary))
-    _write_bench_md(results, eff, eff_8_32, hw)
+    _write_bench_md(results, eff, eff_8_32, hw, pooled, log)
 
 
-def _write_bench_md(results: dict, eff: float, eff_8_32: float, hw: dict):
+def _write_bench_md(
+    results: dict,
+    eff: float,
+    eff_8_32: float,
+    hw: dict,
+    pooled: dict | None = None,
+    log: list[dict] | None = None,
+):
     lines = [
         "# BENCH — scaling evidence (north_rule two-cluster-size criterion)",
         "",
@@ -535,9 +648,39 @@ def _write_bench_md(results: dict, eff: float, eff_8_32: float, hw: dict):
         )
     lines += [
         "",
-        f"**Scaling efficiency N→4N (local[2]→local[8]) = {eff:.3f}**",
-        "(north_rule target: >= 0.8 from N to 4N executors).",
+        f"This window's N→4N efficiency (local[2]→local[8]) = {eff:.3f};",
+        "host-normalized vs the same-window raw-numpy envelope: "
+        f"{eff / hw['cpu_light']['eff_2_to_8']:.2f}× the cache-resident "
+        f"ceiling, {eff / hw['mem_heavy']['eff_2_to_8']:.2f}× the "
+        "memory-streaming ceiling (the pipeline is a mix of both).",
         "",
+    ]
+    if pooled and log:
+        lines += [
+            f"**Scaling efficiency N→4N, pooled across all "
+            f"{len(log)} measurement windows "
+            f"({pooled['n_samples'][2]} samples/level) = "
+            f"{pooled['eff_2_to_8']:.3f}** "
+            "(north_rule target: >= 0.8 from N to 4N executors). "
+            "Window-to-window host load on this shared box swings the "
+            "per-window number by ~0.1 (history below); the pooled median "
+            "is the variance-robust estimate. Pipeline outputs are "
+            "bit-identical in every window (counts column), so windows "
+            "measure the same computation.",
+            "",
+            "| window (git sha) | reps | eff 2→8 | hw envelope 2→8 (cpu/mem) | local[2] walls (s) | local[8] walls (s) |",
+            "|---|---|---|---|---|---|",
+        ]
+        for run in log:
+            w = run["wall_sec_samples"]
+            lines.append(
+                f"| {run['git_sha']} | {run['reps']} | {run['eff_2_to_8']} | "
+                f"{run['hw']['cpu_light']['eff_2_to_8']} / "
+                f"{run['hw']['mem_heavy']['eff_2_to_8']} | "
+                f"{w['2']} | {w['8']} |"
+            )
+        lines.append("")
+    lines += [
         f"Secondary point 8→32: {eff_8_32:.3f} — capped by the HOST, not the",
         "pipeline. Raw process-level numpy on this VM (no Spark involved)",
         "scales 8→32 at "

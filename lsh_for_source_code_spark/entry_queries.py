@@ -1677,6 +1677,71 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    W=12-token window (stride 1) of every document is hashed; a window is a
+    *duplicated span* if its text occurs in >= 2 distinct documents. Emits
+    per-document window counts and the duplicated fraction -- the signal the
+    paper uses to cut verbatim-repeated training text that survives
+    doc-level MinHash (boilerplate, quotations, licence blocks).
+
+    100 TB posture: the posting table is one row per token position --
+    exactly the memory shape of the paper's suffix array, but built with
+    two map-side-combinable aggregations plus one equi-join on an 8-byte
+    xxhash64 key instead of a monolithic sort: (doc, win_hash) partial
+    counts absorb within-doc repeats before the cross-doc count, so the
+    per-window aggregate is two-level (the same salting discipline as the
+    candidate stage); the join back is a shuffle hash join on uniformly
+    distributed hashes with AQE skew-split for mega-windows (a licence
+    header shared by millions of files). Stride > 1 is the linear cost
+    knob at petabyte scale (detection guaranteed for spans >= W + stride
+    - 1 tokens). No strings cross a shuffle: windows travel as int64."""
+    W = 12
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    base = toks.select(
+        "doc_id",
+        F.greatest(F.size("toks") - (W - 1), F.lit(0)).alias("n_windows"),
+        F.expr(
+            f"CASE WHEN size(toks) >= {W} THEN "
+            f"transform(sequence(1, size(toks) - {W - 1}), "
+            f"i -> xxhash64(array_join(slice(toks, i, {W}), chr(1)))) "
+            "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+        ).alias("whs"),
+    )
+    perdoc = (
+        base.select("doc_id", F.explode("whs").alias("wh"))
+        .groupBy("doc_id", "wh")
+        .agg(F.count("*").alias("c"))
+    )
+    perwin = perdoc.groupBy("wh").agg(F.count("*").alias("n_docs"))
+    dup = (
+        perdoc.join(perwin.filter(F.col("n_docs") >= 2), "wh")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("dup_windows"))
+    )
+    return (
+        base.select("doc_id", "n_windows")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce(F.col("dup_windows"), F.lit(0))
+            .cast("long")
+            .alias("dup_windows"),
+            F.round(
+                F.when(
+                    F.col("n_windows") > 0,
+                    F.coalesce(F.col("dup_windows"), F.lit(0)).cast("double")
+                    / F.col("n_windows"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 #: shared CTE chain: winnowing per the SIGMOD'03 definition in pure SQL.
 #: k=5, w=8, B=263 (exact int64, no modulus -- both engines bit-agree);
 #: windows of 8 k-gram hashes (whole doc if fewer), rightmost minimum.
@@ -1768,6 +1833,7 @@ QUERIES = {
     "repetition_profile": q_repetition_profile,
     "pii_scrub": q_pii_scrub,
     "sample_stratified": q_sample_stratified,
+    "duplicate_spans": q_duplicate_spans,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -2425,5 +2491,39 @@ ORACLE = {
                    * 48271 % 2147483647) % 100 < 20))::DOUBLE / count(*), 6)
                  AS sample_rate
         FROM documents GROUP BY lang
+    """,
+    # ExactSubstr-style duplicated spans: W=12-token windows, stride 1;
+    # dup := window text present in >= 2 distinct docs. The oracle carries
+    # the window STRINGS where the engine ships xxhash64(window) -- count
+    # agreement proves the hashed plan loses nothing (collision prob
+    # ~n_windows^2 / 2^64).
+    "duplicate_spans": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}') AS toks
+          FROM documents
+        ), w AS (
+          SELECT doc_id,
+                 unnest([array_to_string(toks[i:i+11], chr(1))
+                         FOR i IN range(1, greatest(len(toks) - 10, 1))]) AS win
+          FROM t
+        ), perdoc AS (
+          SELECT doc_id, win, count(*) AS c FROM w GROUP BY 1, 2
+        ), perwin AS (
+          SELECT win, count(*) AS n_docs FROM perdoc GROUP BY 1
+        ), dup AS (
+          SELECT p.doc_id, sum(p.c)::BIGINT AS dup_windows
+          FROM perdoc p JOIN perwin USING (win)
+          WHERE n_docs >= 2 GROUP BY 1
+        ), nw AS (
+          SELECT doc_id, greatest(len(toks) - 11, 0)::BIGINT AS n_windows
+          FROM t
+        )
+        SELECT nw.doc_id, n_windows,
+               coalesce(dup_windows, 0)::BIGINT AS dup_windows,
+               round(CASE WHEN n_windows > 0
+                 THEN coalesce(dup_windows, 0)::DOUBLE / n_windows
+                 ELSE 0.0 END, 6) AS dup_ratio
+        FROM nw LEFT JOIN dup USING (doc_id)
     """,
 }
