@@ -50,6 +50,7 @@ HEADLINE = [
     "exact_dup_groups",
     "simhash_hamming_pairs",
     "ngram_jaccard_pairs",
+    "duplicate_spans",
     "quality_score",
     "embedding_topk",
     "agg_lineitem",

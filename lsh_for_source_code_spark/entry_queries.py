@@ -722,6 +722,119 @@ def q_minhash_signatures(spark, sf_dir):
     )
 
 
+#: cross-engine MinHash kernel twin: 4 inlined affine coefficients
+#: (minhash_coefficients(4, seed=FLAGSHIP_CFG.seed)) shared verbatim by the
+#: Spark query (driving the production numpy kernel) and the DuckDB oracle
+#: (HUGEINT reimplementation of the same (a*x + b) mod 2^61-1 min-aggregate).
+def _twin_coeffs():
+    from lsh_for_source_code_spark.functions.hashing import (
+        minhash_coefficients,
+    )
+
+    a, b = minhash_coefficients(4, FLAGSHIP_CFG.seed)
+    return [int(v) for v in a], [int(v) for v in b]
+
+
+_TWIN_A, _TWIN_B = _twin_coeffs()
+
+
+def q_minhash_kernel_twin(spark, sf_dir):
+    """Driver-visible cross-engine validation of the production MinHash
+    kernel (functions/hashing.py:minhash_concat -- the split-multiply
+    mod-2^61-1 affine-min at the heart of S3, reference MinHash.java:195-226).
+
+    The production path hashes tokens with blake2b (not expressible in
+    ANSI SQL), so this twin derives token ids from sha256 -- available
+    bit-identically in BOTH engines (Spark sha2 / DuckDB sha256, first 15
+    hex chars parsed base-16, < 2^60 so int64-exact) -- and then runs the
+    REAL numpy kernel on the Spark side against a pure-SQL HUGEINT
+    reimplementation of the same affine-min math with the same 4 inlined
+    coefficients. Value agreement proves the kernel's modular arithmetic
+    (split multiply, Mersenne folds, segmented min, EMPTY_SIG convention),
+    not just row counts. Token-id derivation is the ONLY difference from
+    production; the kernel and coefficient generator are the same code."""
+    from pyspark.sql.types import ArrayType, LongType
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from lsh_for_source_code_spark.functions.hashing import minhash_concat
+    from lsh_for_source_code_spark.functions.minhash import _concat_arrays
+
+    a = np.array(_TWIN_A, dtype=np.uint64)
+    b = np.array(_TWIN_B, dtype=np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig4(ids: pd.Series) -> pd.Series:
+        concat, offsets = _concat_arrays(ids, np.int64)
+        sigs = minhash_concat(concat.view(np.uint64), offsets, a, b)
+        out = sigs.astype(np.int64)  # < 2^61: exact
+        return pd.Series([out[i] for i in range(len(ids))])
+
+    docs = _read(spark, sf_dir, "documents")
+    ids = F.array_distinct(
+        F.transform(
+            _tokens(F.col("text")),
+            lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id", ids.alias("ids"))
+        .withColumn("sig", sig4(F.col("ids")))
+        .select(
+            "doc_id",
+            F.size("ids").cast("long").alias("n_shingles"),
+            F.element_at("sig", 1).alias("sig0"),
+            F.element_at("sig", 2).alias("sig1"),
+            F.element_at("sig", 3).alias("sig2"),
+            F.element_at("sig", 4).alias("sig3"),
+        )
+    )
+
+
+def q_simhash_kernel_twin(spark, sf_dir):
+    """Driver-visible cross-engine validation of the production SimHash
+    kernel (functions/hashing.py:simhash_concat -- the weighted bit-vote
+    behind the second recall channel), same twin discipline as
+    q_minhash_kernel_twin: sha256-derived token ids (< 2^60, so identical
+    in Spark sha2/conv and DuckDB sha256/hex-cast), unit weights, and a
+    pure-SQL per-bit majority vote reproducing the kernel's
+    `2*sum(bit_j) > total` rule for bits 0..59 (ids have bits 60+ clear,
+    which both engines agree votes to 0). Value agreement proves the
+    bit-plane extraction, vote threshold, and empty-doc (fp=0) convention
+    of the real numpy kernel."""
+    from pyspark.sql.types import LongType
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from lsh_for_source_code_spark.functions.hashing import simhash_concat
+    from lsh_for_source_code_spark.functions.minhash import _concat_arrays
+
+    @pandas_udf(LongType())
+    def fp_udf(ids: pd.Series) -> pd.Series:
+        concat, offsets = _concat_arrays(ids, np.int64)
+        ones = np.ones(len(concat), dtype=np.int64)
+        fps = simhash_concat(concat.view(np.uint64), ones, offsets)
+        return pd.Series(fps)
+
+    docs = _read(spark, sf_dir, "documents")
+    ids = F.array_distinct(
+        F.transform(
+            _tokens(F.col("text")),
+            lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id", ids.alias("ids"))
+        .select(
+            "doc_id",
+            F.size("ids").cast("long").alias("n_shingles"),
+            fp_udf(F.col("ids")).alias("fp"),
+        )
+    )
+
+
 def q_simhash_hamming_pairs(spark, sf_dir):
     """Rows-only: SimHash hamming <= 3 channel over the full documents set."""
     docs = _read(spark, sf_dir, "documents")
@@ -1717,7 +1830,9 @@ def q_duplicate_spans(spark, sf_dir):
     )
     perwin = perdoc.groupBy("wh").agg(F.count("*").alias("n_docs"))
     dup = (
-        perdoc.join(perwin.filter(F.col("n_docs") >= 2), "wh")
+        perdoc.join(
+            perwin.filter(F.col("n_docs") >= 2).hint("shuffle_hash"), "wh"
+        )
         .groupBy("doc_id")
         .agg(F.sum("c").alias("dup_windows"))
     )
@@ -1739,6 +1854,75 @@ def q_duplicate_spans(spark, sf_dir):
                 6,
             ).alias("dup_ratio"),
         )
+    )
+
+
+def q_curation_funnel(spark, sf_dir):
+    """Training-data curation funnel: the cumulative retention waterfall a
+    real corpus pipeline runs before tokenization -- quality gate
+    (q_quality_score's rule) -> language gate (q_lang_id's rule) ->
+    exact-dedup keeper (first doc_id per content sha) -> duplicated-span
+    gate (q_duplicate_spans dup_ratio < 0.5). One row per stage with the
+    surviving count and cumulative retention.
+
+    100 TB posture: stages 0-2 are pure scan-parallel JVM expressions
+    fused into one pass; the sha-keeper is a map-side-combinable min-by
+    aggregate joined back (never a window over a mega-partition); the span
+    gate reuses q_duplicate_spans' two-level agg. The final funnel
+    aggregate is 5 sums over booleans -- one reduce."""
+    docs = _read(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = _tokens(F.lower(text))
+    n_toks = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    n_chars = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    sw_ratio = F.when(n_toks > 0, sw.cast("double") / n_toks).otherwise(0.0)
+    flags = docs.select(
+        "doc_id",
+        F.sha2(text, 256).alias("sha"),
+        ((n_toks >= 10) & (punct_ratio < 0.2)).alias("q_ok"),
+        (sw_ratio > 0.02).alias("is_en"),
+    )
+    keepers = flags.groupBy("sha").agg(F.min("doc_id").alias("keep_id"))
+    spans = q_duplicate_spans(spark, sf_dir).select("doc_id", "dup_ratio")
+    staged = (
+        flags.join(keepers, "sha")
+        .join(spans, "doc_id")
+        .select(
+            F.lit(1).alias("s0"),
+            F.col("q_ok").cast("int").alias("s1"),
+            (F.col("q_ok") & F.col("is_en")).cast("int").alias("s2"),
+            (
+                F.col("q_ok")
+                & F.col("is_en")
+                & (F.col("doc_id") == F.col("keep_id"))
+            )
+            .cast("int")
+            .alias("s3"),
+            (
+                F.col("q_ok")
+                & F.col("is_en")
+                & (F.col("doc_id") == F.col("keep_id"))
+                & (F.col("dup_ratio") < 0.5)
+            )
+            .cast("int")
+            .alias("s4"),
+        )
+        .agg(*[F.sum(f"s{i}").alias(f"n{i}") for i in range(5)])
+    )
+    names = ["total", "quality", "lang_en", "exact_keeper", "span_clean"]
+    stack = ", ".join(f"{i}, '{names[i]}', n{i}, n0" for i in range(5))
+    return staged.selectExpr(
+        f"stack(5, {stack}) AS (stage_idx, stage, n_docs, n_total)"
+    ).select(
+        "stage_idx",
+        "stage",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n_total").cast("double"), 6
+        ).alias("retained_ratio"),
     )
 
 
@@ -1834,6 +2018,9 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "sample_stratified": q_sample_stratified,
     "duplicate_spans": q_duplicate_spans,
+    "minhash_kernel_twin": q_minhash_kernel_twin,
+    "simhash_kernel_twin": q_simhash_kernel_twin,
+    "curation_funnel": q_curation_funnel,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -2525,5 +2712,108 @@ ORACLE = {
                  THEN coalesce(dup_windows, 0)::DOUBLE / n_windows
                  ELSE 0.0 END, 6) AS dup_ratio
         FROM nw LEFT JOIN dup USING (doc_id)
+    """,
+    # cross-engine MinHash kernel twin: same 4 affine coefficients as the
+    # Spark query; HUGEINT keeps a*x (< 2^91) exact; 2305843009213693951 =
+    # 2^61 - 1 is both the modulus and the EMPTY_SIG convention for
+    # shingle-less docs.
+    "minhash_kernel_twin": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct([('0x' || substr(sha256(tok), 1, 15))::UBIGINT
+                                FOR tok IN regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}')]) AS ids
+          FROM documents
+        )
+        SELECT doc_id, len(ids)::BIGINT AS n_shingles,
+          {", ".join(
+            f"coalesce(list_min([(({_TWIN_A[i]}::HUGEINT * x + {_TWIN_B[i]}) "
+            f"% 2305843009213693951)::BIGINT FOR x IN ids]), "
+            f"2305843009213693951) AS sig{i}"
+            for i in range(4)
+          )}
+        FROM t
+    """,
+    # cross-engine SimHash kernel twin: per-bit unit-weight majority vote
+    # over the same sha256-derived ids; bit j set iff 2*sum(bit_j) > n.
+    "simhash_kernel_twin": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct([('0x' || substr(sha256(tok), 1, 15))::UBIGINT
+                                FOR tok IN regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}')]) AS ids
+          FROM documents
+        )
+        SELECT doc_id, len(ids)::BIGINT AS n_shingles,
+               coalesce(list_sum(
+                 [CASE WHEN 2 * coalesce(list_sum(
+                          [((x >> j) & 1)::BIGINT FOR x IN ids]), 0)
+                         > len(ids)
+                       THEN (1::BIGINT << j) ELSE 0 END
+                  FOR j IN range(0, 60)]), 0)::BIGINT AS fp
+        FROM t
+    """,
+    # curation funnel: cumulative AND-chain of the quality / lang_en /
+    # exact-keeper / span-clean gates (each rule copied verbatim from its
+    # standalone oracle above; spans over ORIGINAL-case tokens, quality and
+    # lang over lowered tokens -- matching the Spark side exactly).
+    "curation_funnel": f"""
+        WITH t AS (
+          SELECT doc_id, coalesce(text, '') AS tx,
+                 regexp_extract_all(lower(coalesce(text, '')), '{_TOKEN_RE_SQL}') AS ltoks,
+                 regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE_SQL}') AS toks
+          FROM documents
+        ), flags AS (
+          SELECT doc_id, sha256(tx) AS sha,
+                 (len(ltoks) >= 10 AND
+                  CASE WHEN length(tx) > 0
+                    THEN length(regexp_replace(tx, '[^.,;:!?]', '', 'g'))::DOUBLE / length(tx)
+                    ELSE 0.0 END < 0.2) AS q_ok,
+                 (CASE WHEN len(ltoks) > 0
+                    THEN len(list_filter(ltoks, x -> x IN ({_SW_SQL})))::DOUBLE / len(ltoks)
+                    ELSE 0.0 END > 0.02) AS is_en
+          FROM t
+        ), keep AS (
+          SELECT sha, min(doc_id) AS keep_id FROM flags GROUP BY 1
+        ), w AS (
+          SELECT doc_id,
+                 unnest([array_to_string(toks[i:i+11], chr(1))
+                         FOR i IN range(1, greatest(len(toks) - 10, 1))]) AS win
+          FROM t
+        ), perdoc AS (
+          SELECT doc_id, win, count(*) AS c FROM w GROUP BY 1, 2
+        ), perwin AS (
+          SELECT win, count(*) AS n_docs FROM perdoc GROUP BY 1
+        ), dup AS (
+          SELECT p.doc_id, sum(p.c)::BIGINT AS dup_windows
+          FROM perdoc p JOIN perwin USING (win)
+          WHERE n_docs >= 2 GROUP BY 1
+        ), ratio AS (
+          SELECT t.doc_id,
+                 round(CASE WHEN greatest(len(toks) - 11, 0) > 0
+                   THEN coalesce(dup_windows, 0)::DOUBLE
+                        / greatest(len(toks) - 11, 0)
+                   ELSE 0.0 END, 6) AS dup_ratio
+          FROM t LEFT JOIN dup ON t.doc_id = dup.doc_id
+        ), staged AS (
+          SELECT count(*) AS n0,
+                 count(*) FILTER (WHERE q_ok) AS n1,
+                 count(*) FILTER (WHERE q_ok AND is_en) AS n2,
+                 count(*) FILTER (WHERE q_ok AND is_en
+                                  AND f.doc_id = keep_id) AS n3,
+                 count(*) FILTER (WHERE q_ok AND is_en
+                                  AND f.doc_id = keep_id
+                                  AND dup_ratio < 0.5) AS n4
+          FROM flags f
+          JOIN keep USING (sha)
+          JOIN ratio ON f.doc_id = ratio.doc_id
+        )
+        SELECT stage_idx, stage, n_docs::BIGINT AS n_docs,
+               round(n_docs::DOUBLE / n_total, 6) AS retained_ratio
+        FROM (
+          SELECT 0 AS stage_idx, 'total' AS stage, n0 AS n_docs, n0 AS n_total FROM staged
+          UNION ALL SELECT 1, 'quality', n1, n0 FROM staged
+          UNION ALL SELECT 2, 'lang_en', n2, n0 FROM staged
+          UNION ALL SELECT 3, 'exact_keeper', n3, n0 FROM staged
+          UNION ALL SELECT 4, 'span_clean', n4, n0 FROM staged
+        )
     """,
 }

@@ -51,7 +51,27 @@ _AUDITED = [
     "repetition_profile",
     "pii_scrub",
     "sample_stratified",
+    "duplicate_spans",
+    "minhash_kernel_twin",
+    "simhash_kernel_twin",
+    "curation_funnel",
 ]
+
+
+def test_duplicate_spans_plan(spark):
+    """The ExactSubstr-style span query must (a) never broadcast or sort
+    the posting table (uniform int64 window hashes -> shuffled hash join),
+    and (b) map-side combine the per-(doc, window) counts before the
+    exchange -- within-doc repeats collapse locally, the same discipline
+    as the candidate stage."""
+    from lsh_for_source_code_spark.entry_queries import QUERIES as Q
+
+    p = _plan(spark, Q["duplicate_spans"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p, "posting join must not sort int64 hashes"
+    simple = _plan(spark, Q["duplicate_spans"](spark, SF_DIR), "simple")
+    ex = simple.index("Exchange")
+    assert "partial_count" in simple[ex:], "no map-side combine below exchange"
 
 
 def _plan(spark, df, mode: str = "formatted") -> str:
