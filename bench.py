@@ -501,6 +501,10 @@ def _pooled_stats(log: list[dict]) -> dict:
 
     walls: dict[int, list[float]] = {2: [], 8: [], 32: []}
     for run in log:
+        # pool only same-corpus-size windows: files/sec at 200k and 400k
+        # are different workloads (legacy records predate the key = 200k)
+        if run.get("n_files", 200000) != BENCH_FILES:
+            continue
         for lvl, ws in run["wall_sec_samples"].items():
             walls[int(lvl)].extend(ws)
     fps = {
@@ -616,6 +620,7 @@ def scaling():
     run_rec = {
         "ts": time.time(),
         "git_sha": sha,
+        "n_files": BENCH_FILES,
         "reps": reps,
         "wall_sec_samples": {
             str(c): [r["wall_sec"] for r in samples[c]] for c in levels
@@ -716,12 +721,12 @@ def _write_bench_md(
             "their own memory buses and clock headroom; its envelope is ~1.0",
             "by construction, which is what the criterion presumes.)",
             "",
-            "| window (git sha) | reps | pipeline eff 2→8 | hw envelope 2→8 (cpu / mem) | admissible | pipeline ÷ cpu-envelope |",
-            "|---|---|---|---|---|---|",
+            "| window (git sha) | corpus | reps | pipeline eff 2→8 | hw envelope 2→8 (cpu / mem) | admissible | pipeline ÷ cpu-envelope |",
+            "|---|---|---|---|---|---|---|",
         ]
         met_in_admissible, any_admissible = True, False
 
-        def _row(tag, reps_txt, e, cpu, mem):
+        def _row(tag, nf, reps_txt, e, cpu, mem):
             nonlocal met_in_admissible, any_admissible
             # a calibration reading > 1 is physically impossible steady-state
             # (its own 2-proc phase hit a contention burst): not admissible
@@ -732,19 +737,21 @@ def _write_bench_md(
                 any_admissible = True
                 met_in_admissible &= e >= 0.8
             lines.append(
-                f"| {tag} | {reps_txt} | {e} | "
+                f"| {tag} | {nf // 1000}k | {reps_txt} | {e} | "
                 f"{cpu} / {mem} | "
                 f"{'YES' if adm else ('calibration-invalid' if not sane else 'no')} | "
                 f"{e / cpu:.2f} |"
             )
 
         for run in log:
+            nf = run.get("n_files", 200000)
             if run.get("calibrated_per_rep"):
                 cpus_l = run["hw"]["cpu_light"]["eff_2_to_8_per_rep"]
                 mems_l = run["hw"]["mem_heavy"]["eff_2_to_8_per_rep"]
                 for i, e in enumerate(run["per_rep_eff"]):
                     _row(
                         f"{run['git_sha']} rep{i + 1} (per-rep calibrated)",
+                        nf,
                         "1",
                         e,
                         cpus_l[i],
@@ -753,6 +760,7 @@ def _write_bench_md(
             else:
                 _row(
                     run["git_sha"],
+                    nf,
                     str(run["reps"]),
                     run["eff_2_to_8"],
                     run["hw"]["cpu_light"]["eff_2_to_8"],
@@ -768,12 +776,13 @@ def _write_bench_md(
             f"Criterion: {verdict}. In inadmissible windows the pipeline "
             "tracks the moving ceiling (last column ~0.9-1.0): its scaling "
             "loss is the host's, not the plan's. Every raw sample is kept "
-            "in BENCH_SCALING_SAMPLES.json; pooled-across-all-windows "
+            "in BENCH_SCALING_SAMPLES.json; pooled same-corpus-size "
             f"medians ({pooled['n_samples'][2]} samples/level): "
-            f"local[2] {pooled['files_per_sec'][2]} files/s, "
-            f"local[8] {pooled['files_per_sec'][8]} files/s, "
-            f"local[32] {pooled['files_per_sec'][32]} files/s "
-            f"(raw pooled eff {pooled['eff_2_to_8']:.3f} -- dominated by "
+            + ", ".join(
+                f"local[{lvl}] {v} files/s"
+                for lvl, v in sorted(pooled["files_per_sec"].items())
+            )
+            + f" (raw pooled eff {pooled['eff_2_to_8']:.3f} -- dominated by "
             "whichever host era contributed more samples, shown for "
             "transparency, not as the estimator). Pipeline outputs are "
             "bit-identical in every window and at every parallelism "
