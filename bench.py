@@ -170,6 +170,70 @@ def run_pipeline_bench(spark, eval_recall: bool = True) -> dict:
     }
 
 
+def _scaling_summary_from_log() -> dict | None:
+    """Condense BENCH_SCALING_SAMPLES.json into the per-window view the
+    north-rule criterion is judged on (full narrative: BENCH.md). One row
+    per calibrated rep: pipeline eff 2->8 next to the SAME window slice's
+    raw-numpy host envelope; a window is admissible iff both envelope
+    workloads scale >= 0.8 there (where even perfect independent numpy
+    can't reach 0.8, no workload can)."""
+    if not os.path.exists(_SAMPLES_PATH):
+        return None
+    with open(_SAMPLES_PATH) as f:
+        log = json.load(f)
+    windows = []
+    for run in log:
+        nf = run.get("n_files", 200000)
+        if run.get("calibrated_per_rep"):
+            cpus_l = run["hw"]["cpu_light"]["eff_2_to_8_per_rep"]
+            mems_l = run["hw"]["mem_heavy"]["eff_2_to_8_per_rep"]
+            for i, e in enumerate(run["per_rep_eff"]):
+                cpu, mem = cpus_l[i], mems_l[i]
+                windows.append(
+                    {
+                        "window": f"{run['git_sha']} rep{i + 1}",
+                        "n_files": nf,
+                        "eff_2_to_8": e,
+                        "hw_envelope": [cpu, mem],
+                        "admissible": cpu <= 1.0 and mem <= 1.0
+                        and cpu >= 0.8 and mem >= 0.8,
+                    }
+                )
+        else:
+            cpu = run["hw"]["cpu_light"]["eff_2_to_8"]
+            mem = run["hw"]["mem_heavy"]["eff_2_to_8"]
+            windows.append(
+                {
+                    "window": run["git_sha"],
+                    "n_files": nf,
+                    "eff_2_to_8": run["eff_2_to_8"],
+                    "hw_envelope": [cpu, mem],
+                    "admissible": cpu <= 1.0 and mem <= 1.0
+                    and cpu >= 0.8 and mem >= 0.8,
+                }
+            )
+    by_corpus: dict[str, list[float]] = {}
+    for w in windows:
+        if w["admissible"]:
+            by_corpus.setdefault(str(w["n_files"]), []).append(w["eff_2_to_8"])
+    import statistics
+
+    return {
+        "criterion": "north_rule: throughput scaling efficiency >= 0.8 "
+        "from N to 4N (sandbox substitution: local[2] -> local[8], "
+        "identical job + input, per-rep-calibrated vs raw-numpy host "
+        "envelope)",
+        "admissible_window_median_eff_by_corpus_size": {
+            k: round(statistics.median(v), 3)
+            for k, v in sorted(by_corpus.items(), key=lambda kv: int(kv[0]))
+        },
+        "windows": windows,
+        "see": "BENCH.md / BENCH_NOTES.md #20 (fixed-cost model: eff "
+        "rises with corpus size because the 40-55s core-count-invariant "
+        "driver/setup component dilutes; at 10^12-file scale it is noise)",
+    }
+
+
 def make_spark(cpus: int):
     from lsh_for_source_code_spark.session import get_spark
 
@@ -225,6 +289,7 @@ def main():
                 "queries_steady": timings_steady,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pipeline": pipe,
+                "scaling": _scaling_summary_from_log(),
                 "cpus": CPUS,
                 "semantics": (
                     "pipeline is the r3+ recall-fixed configuration "
