@@ -1966,6 +1966,106 @@ _WINNOW_SQL_CTES = """
 """
 
 
+_SEMDEDUP_EPS = 0.30  # testdata embeddings are unstructured (p99 pair cos
+# ~0.34); production corpora run eps ~0.95+ with the identical plan shape.
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster embeddings, then within each cluster drop every doc that has an
+    epsilon-similar cluster-mate with a smaller id (deterministic keep-first
+    policy -- same keeper convention as dedup_manifest).
+
+    100 TB shape: the centroid set (C ~ sqrt(N), here the deterministic
+    vec_id%31 sample so both engines derive it -- a production run swaps in
+    k-means-trained centroids with the identical plan) BROADCASTS; assignment
+    is one scan + per-row argmax; the pairwise step is a self-join on cell_id
+    so its cost is sum(c_i^2) over cell occupancies -- bounded by the k the
+    operator chooses, never an all-pairs join over the corpus. Cosines are
+    rounded to 6dp before the threshold/tie logic so a last-ulp summation
+    difference can never flip a keep decision between engines."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell_id"))
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("s", F.round(_cosine(F.col("v"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "v")
+    )
+    other = assign.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("other_id"),
+        F.col("v").alias("ov"),
+    )
+    cos = F.round(_cosine(F.col("v"), F.col("ov")), 6)
+    sims = (
+        assign.join(other, "cell_id")
+        .filter(F.col("vec_id") != F.col("other_id"))
+        .select(
+            "vec_id",
+            cos.alias("cos"),
+            (
+                (F.col("other_id") < F.col("vec_id"))
+                & (cos >= F.lit(_SEMDEDUP_EPS))
+            ).cast("int").alias("smaller_dup"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max("cos").alias("max_sim"),
+            F.max("smaller_dup").alias("has_smaller_dup"),
+        )
+    )
+    return (
+        assign.join(sims, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.coalesce("max_sim", F.lit(-1.0)).alias("max_sim"),
+            (F.coalesce("has_smaller_dup", F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-5 terms by tf-idf (tf = raw in-doc count, idf =
+    ln(N/df)): the standard keyword/fingerprint signal a curation pipeline
+    derives next to lang_id/quality_score.
+
+    Plan shape at 100 TB: tokenize (scan-parallel) -> (doc,term) partial-agg
+    (map-side combine) -> term doc-frequency agg -> tf JOIN df on term (both
+    sides are already aggregates, vocab-sized not corpus-sized; left to AQE,
+    which broadcasts df when it fits) -> per-doc window top-k. The corpus
+    size N enters as a broadcast one-row aggregate, not a driver collect.
+    Scores are rounded to 6dp before ranking so ordering is engine-stable;
+    ties break on the term text."""
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    score = F.round(
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+    ).alias("score")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "tok", "tf", "df", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "rnk", "tok", "tf", "df", "score")
+    )
+
+
 QUERIES = {
     "content_sha": q_content_sha,
     "exact_dup_groups": q_exact_dup_groups,
@@ -2021,6 +2121,8 @@ QUERIES = {
     "minhash_kernel_twin": q_minhash_kernel_twin,
     "simhash_kernel_twin": q_simhash_kernel_twin,
     "curation_funnel": q_curation_funnel,
+    "semdedup": q_semdedup,
+    "tfidf_topk": q_tfidf_topk,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -2815,5 +2917,64 @@ ORACLE = {
           UNION ALL SELECT 3, 'exact_keeper', n3, n0 FROM staged
           UNION ALL SELECT 4, 'span_clean', n4, n0 FROM staged
         )
+    """,
+    # SemDeDup: centroid assign (vec_id%31 deterministic sample, argmax on
+    # 6dp-rounded cosine) -> within-cell pairwise -> keep-first at eps 0.30
+    "semdedup": """
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cents AS (
+          SELECT vec_id AS cell_id, v AS cv FROM emb WHERE vec_id % 31 = 0
+        ), scored AS (
+          SELECT e.vec_id, c.cell_id,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                            c.cell_id ASC) AS rn
+          FROM emb e CROSS JOIN cents c
+        ), assign AS (
+          SELECT s.vec_id, s.cell_id, e.v
+          FROM scored s JOIN emb e USING (vec_id) WHERE rn = 1
+        ), sims AS (
+          SELECT a.vec_id,
+                 max(round(list_cosine_similarity(a.v, b.v), 6)) AS max_sim,
+                 max(CASE WHEN b.vec_id < a.vec_id
+                          AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.30
+                     THEN 1 ELSE 0 END) AS has_smaller_dup
+          FROM assign a JOIN assign b
+            ON a.cell_id = b.cell_id AND a.vec_id != b.vec_id
+          GROUP BY a.vec_id
+        )
+        SELECT a.vec_id, a.cell_id,
+               coalesce(s.max_sim, -1.0) AS max_sim,
+               coalesce(s.has_smaller_dup, 0) = 0 AS keep
+        FROM assign a LEFT JOIN sims s USING (vec_id)
+    """,
+    # tf-idf: tf = raw in-doc count, idf = ln(N/df), 6dp-rounded score,
+    # per-doc top-5 with term-text tie-break
+    "tfidf_topk": f"""
+        WITH tf AS (
+          SELECT doc_id, tok, count(*) AS tf
+          FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(coalesce(text, ''),
+                                             '{_TOKEN_RE_SQL}')) AS tok
+            FROM documents
+          ) GROUP BY 1, 2
+        ), df AS (
+          SELECT tok, count(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+          SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+          SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                 round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS score
+          FROM tf JOIN df USING (tok) CROSS JOIN n
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score DESC, tok ASC) AS rnk
+          FROM scored
+        )
+        SELECT doc_id, rnk, tok, tf, df, score FROM ranked WHERE rnk <= 5
     """,
 }
