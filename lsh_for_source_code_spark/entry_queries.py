@@ -2066,6 +2066,242 @@ def q_tfidf_topk(spark, sf_dir):
     )
 
 
+_KMEANS_ITERS = 3
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def q_kmeans_cells(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embedding table: 3 assignment
+    iterations with 2 centroid updates in between, deterministic init
+    (vec_id % 31 sample -- the same seed set the IVF/semdedup queries use,
+    so this query IS the trainer those two note as "a production run swaps
+    in k-means-trained centroids"). Emits the final per-vector assignment
+    plus its squared L2 distance -- the full clustering is value-checked,
+    not just counts.
+
+    Iterative algorithms are the classic "Spark can't do this
+    declaratively" claim; this is the counterexample, and the plan is the
+    one you'd want at 100 TB: assignment is SHUFFLE-FREE -- the centroid
+    set (C ~ sqrt(N), a few MB) collapses to a single broadcast row of
+    struct(cell_id, cv) sorted by cell_id, and each vector folds over it
+    with an F.aggregate HOF that tracks the running (d2, cell_id) argmin
+    inside the scan (strict < on the cell_id-ordered fold == the
+    (d2 ASC, cell_id ASC) tie-break). The naive alternative (crossJoin +
+    row_number window) re-shuffles the full corpus by vec_id EVERY
+    iteration; this formulation's only shuffle per iteration is the
+    centroid update keyed on (cell, pos) -- C*dim keys, partial-aggregated
+    map-side, never corpus-sized -- and the T-iteration loop unrolls into
+    a single Catalyst plan. Engine-stability: distances and centroid
+    components are rounded to 6dp each iteration, so a last-ulp summation
+    difference can never flip an argmin between Spark and the unrolled-CTE
+    DuckDB oracle (same convention as the ANN sketches)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    nv2 = _dot(F.col("v"), F.col("v"))
+
+    def _argmin_fold(cs):
+        init = F.struct(
+            F.lit(float("inf")).alias("d2"),
+            F.lit(-1).cast("long").alias("cell_id"),
+        )
+
+        def step(acc, c):
+            d2 = F.round(
+                nv2 + _dot(c["cv"], c["cv"]) - 2 * _dot(F.col("v"), c["cv"]),
+                6,
+            )
+            better = d2 < acc["d2"]
+            return F.struct(
+                F.when(better, d2).otherwise(acc["d2"]).alias("d2"),
+                F.when(better, c["cell_id"])
+                .otherwise(acc["cell_id"])
+                .alias("cell_id"),
+            )
+
+        return F.aggregate(cs, init, step)
+
+    assign = None
+    for it in range(_KMEANS_ITERS):
+        cents_row = cents.agg(
+            F.sort_array(F.collect_list(F.struct("cell_id", "cv"))).alias("cs")
+        )
+        assign = (
+            emb.crossJoin(F.broadcast(cents_row))
+            .withColumn("am", _argmin_fold(F.col("cs")))
+            .select(
+                "vec_id",
+                F.col("am.cell_id").alias("cell_id"),
+                "v",
+                F.col("am.d2").alias("d2"),
+            )
+        )
+        if it < _KMEANS_ITERS - 1:
+            cents = (
+                assign.select(
+                    "cell_id", F.posexplode("v").alias("pos", "val")
+                )
+                .groupBy("cell_id", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("cm"))
+                .groupBy("cell_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "cm"))),
+                        lambda x: x["cm"],
+                    ).alias("cv")
+                )
+            )
+    return assign.select("vec_id", "cell_id", F.round("d2", 4).alias("d2"))
+
+
+_BLOOM_M, _BLOOM_K = 131072, 4  # bits, probes: ~0.35 fill / ~1.6% FP at the
+# test corpus's ~14k-trigram base vocabulary (m ~ 10n rule)
+
+
+def _trigram_strings(text_col):
+    """Distinct word-trigram strings ('a b c'), declaratively: the novelty
+    unit for the Bloom queries. Mirrors the DuckDB list comprehension."""
+    ts = _tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ts) - 3),
+        lambda i: F.concat_ws(
+            " ", F.get(ts, i), F.get(ts, i + 1), F.get(ts, i + 2)
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(ts) >= 3, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def q_bloom_novelty(spark, sf_dir):
+    """Per-document novelty scoring against a fixed-memory Bloom filter of
+    the base split's word-trigram vocabulary -- the curation primitive for
+    "how much of this incoming doc has the corpus already seen"
+    (contamination / novelty), run without materializing or shuffling the
+    vocabulary itself.
+
+    Build: base split (doc_id % 5 != 0) distinct trigrams -> k=4 bit
+    positions per trigram (independent 32-bit hex windows of its sha256,
+    mod m) -> packed into 32-bit words via groupBy(word).agg(bit_or(mask)).
+    The packed filter is <= m/32 rows REGARDLESS of corpus size -- at
+    10^12 files you size m in the billions and the word table is still
+    ~100M rows -> per-executor broadcast, while the exact-join alternative
+    shuffles the full vocabulary every probe batch. Probe: each delta doc's
+    distinct trigrams join their k word/mask probes against the word table;
+    a trigram is bloom-seen iff all k bits are set. Emits per-doc n_grams /
+    n_seen_exact (ground truth via vocab join) / n_seen_bloom, so both
+    engines value-check the filter's one-sided-error contract (bloom is a
+    superset of exact -- the pytest property asserts it per-gram) AND the
+    real false-positive rate, not just row counts: at this corpus the delta
+    split is ~40% novel and m is sized (~10 bits/key) for a deliberately
+    nonzero FP rate. Hash windows use the repo's standard sha256-hex <->
+    conv/UBIGINT bridge, bit-identical across Spark and DuckDB."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", _trigram_strings(F.col("text")).alias("toks")
+    )
+    base_vocab = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.explode("toks").alias("tok"))
+        .distinct()
+    )
+    delta_toks = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.explode("toks").alias("tok"))
+    )
+    sha = F.sha2(F.col("tok"), 256)
+    probes = F.array(
+        *[
+            (
+                F.conv(F.substring(sha, 1 + i * 8, 8), 16, 10).cast("long")
+                % _BLOOM_M
+            )
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+    def _word_mask(df):
+        return df.select(
+            df["*"],
+            (F.col("bit") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+
+    words = (
+        _word_mask(base_vocab.select(F.explode(probes).alias("bit")))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    bloom_seen = (
+        _word_mask(delta_toks.select("doc_id", "tok", probes.alias("ps")).select(
+            "doc_id", "tok", F.explode("ps").alias("bit")
+        ))
+        .join(F.broadcast(words), "word")
+        .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n_set"))
+        .filter(F.col("n_set") == _BLOOM_K)
+        .select("doc_id", "tok", F.lit(1).alias("bloom_i"))
+    )
+    exact_seen = base_vocab.withColumn("exact_i", F.lit(1))
+    return (
+        delta_toks.join(bloom_seen, ["doc_id", "tok"], "left")
+        .join(F.broadcast(exact_seen), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("exact_i", F.lit(0))).alias("n_seen_exact"),
+            F.sum(F.coalesce("bloom_i", F.lit(0))).alias("n_seen_bloom"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_seen_exact",
+            "n_seen_bloom",
+            F.round(1 - F.col("n_seen_bloom") / F.col("n_grams"), 6).alias(
+                "novelty_bloom"
+            ),
+        )
+    )
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    """Per-language exact length quantiles (chars + tokens): the corpus
+    profiling pass a curation pipeline runs before setting length filters.
+    Exact `percentile` (linear interpolation, same (n-1)*p rule as
+    DuckDB's quantile_cont) rather than percentile_approx so the oracle
+    can hash-match values; at 100 TB the same query swaps in
+    percentile_approx (a t-digest-style mergeable sketch, one pass, fixed
+    memory) with an identical plan shape -- per-language groupBy with
+    map-side partials, no window, no join."""
+    toks = F.size(_tokens(F.col("text")))
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("lang", "n_chars", toks.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("chars_p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("chars_p90"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("chars_p99"),
+            F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("tok_p50"),
+            F.round(F.expr("percentile(n_tok, 0.9)"), 4).alias("tok_p90"),
+            F.round(F.expr("percentile(n_tok, 0.99)"), 4).alias("tok_p99"),
+        )
+    )
+
+
 QUERIES = {
     "content_sha": q_content_sha,
     "exact_dup_groups": q_exact_dup_groups,
@@ -2123,6 +2359,9 @@ QUERIES = {
     "curation_funnel": q_curation_funnel,
     "semdedup": q_semdedup,
     "tfidf_topk": q_tfidf_topk,
+    "kmeans_cells": q_kmeans_cells,
+    "bloom_novelty": q_bloom_novelty,
+    "doc_length_quantiles": q_doc_length_quantiles,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -2950,6 +3189,74 @@ ORACLE = {
                coalesce(s.has_smaller_dup, 0) = 0 AS keep
         FROM assign a LEFT JOIN sims s USING (vec_id)
     """,
+    # Bloom novelty: k=4 independent 32-bit windows of sha256(token) mod m,
+    # packed into 32-bit words with bit_or; a token is bloom-seen iff all k
+    # bits are set. Exact vocab-join truth rides along so the one-sided
+    # error contract and the real FP rate are value-checked.
+    "bloom_novelty": f"""
+        WITH rawtoks AS (
+          SELECT doc_id, regexp_extract_all(coalesce(text, ''),
+                                            '{_TOKEN_RE_SQL}') AS ts
+          FROM documents
+        ), docs AS (
+          SELECT doc_id,
+                 list_distinct([ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+                                for i in range(1, len(ts) - 1)]) AS toks
+          FROM rawtoks
+        ), base_vocab AS (
+          SELECT DISTINCT unnest(toks) AS tok FROM docs WHERE doc_id % 5 != 0
+        ), delta_toks AS (
+          SELECT doc_id, unnest(toks) AS tok FROM docs WHERE doc_id % 5 = 0
+        ), ks AS (
+          SELECT unnest(range({_BLOOM_K})) AS i
+        ), base_bits AS (
+          SELECT (('0x' || substr(sha256(tok), 1 + i * 8, 8))::UBIGINT
+                  % {_BLOOM_M})::BIGINT AS bit
+          FROM base_vocab CROSS JOIN ks
+        ), words AS (
+          SELECT bit // 32 AS word,
+                 bit_or(1::BIGINT << (bit % 32)::INT) AS bits
+          FROM base_bits GROUP BY 1
+        ), dprobe AS (
+          SELECT doc_id, tok,
+                 (('0x' || substr(sha256(tok), 1 + i * 8, 8))::UBIGINT
+                  % {_BLOOM_M})::BIGINT AS bit
+          FROM delta_toks CROSS JOIN ks
+        ), bloom_seen AS (
+          SELECT doc_id, tok
+          FROM dprobe d JOIN words w ON d.bit // 32 = w.word
+          WHERE (w.bits & (1::BIGINT << (d.bit % 32)::INT)) != 0
+          GROUP BY doc_id, tok HAVING count(*) = {_BLOOM_K}
+        )
+        SELECT t.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_seen_exact,
+               sum(CASE WHEN b.tok IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_seen_bloom,
+               round(1 - sum(CASE WHEN b.tok IS NOT NULL THEN 1 ELSE 0
+                             END)::DOUBLE / count(*), 6) AS novelty_bloom
+        FROM delta_toks t
+        LEFT JOIN base_vocab v USING (tok)
+        LEFT JOIN bloom_seen b ON t.doc_id = b.doc_id AND t.tok = b.tok
+        GROUP BY 1
+    """,
+    # exact percentile (linear interpolation) == DuckDB quantile_cont
+    "doc_length_quantiles": f"""
+        WITH d AS (
+          SELECT lang, n_chars,
+                 len(regexp_extract_all(coalesce(text, ''),
+                                        '{_TOKEN_RE_SQL}')) AS n_tok
+          FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(quantile_cont(n_chars, 0.5), 4) AS chars_p50,
+               round(quantile_cont(n_chars, 0.9), 4) AS chars_p90,
+               round(quantile_cont(n_chars, 0.99), 4) AS chars_p99,
+               round(quantile_cont(n_tok, 0.5), 4) AS tok_p50,
+               round(quantile_cont(n_tok, 0.9), 4) AS tok_p90,
+               round(quantile_cont(n_tok, 0.99), 4) AS tok_p99
+        FROM d GROUP BY lang
+    """,
     # tf-idf: tf = raw in-doc count, idf = ln(N/df), 6dp-rounded score,
     # per-doc top-5 with term-text tie-break
     "tfidf_topk": f"""
@@ -2978,3 +3285,53 @@ ORACLE = {
         SELECT doc_id, rnk, tok, tf, df, score FROM ranked WHERE rnk <= 5
     """,
 }
+
+
+def _kmeans_oracle_sql(iters: int) -> str:
+    """Unrolled-CTE DuckDB twin of q_kmeans_cells: one (assign, update)
+    CTE pair per Lloyd iteration, generated from the same _KMEANS_ITERS so
+    the oracle can never drift from the Spark loop. Mirrors the 6dp
+    rounding on distances and centroid components and the
+    (d2 ASC, cell_id ASC) argmin tie-break."""
+    d2 = (
+        "round(list_inner_product(e.v, e.v) + list_inner_product(c.cv, c.cv)"
+        " - 2 * list_inner_product(e.v, c.cv), 6)"
+    )
+    parts = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id AS cell_id, v AS cv FROM emb"
+        " WHERE vec_id % 31 = 0)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+          SELECT vec_id, cell_id, v, d2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2 ASC, cell_id ASC) AS rn
+            FROM (
+              SELECT e.vec_id, c.cell_id, e.v, {d2} AS d2
+              FROM emb e CROSS JOIN c{i - 1} c
+            )
+          ) WHERE rn = 1
+        )"""
+        )
+        if i < iters:
+            parts.append(
+                f"""c{i} AS (
+          SELECT cell_id, list(cm ORDER BY pos) AS cv FROM (
+            SELECT cell_id, pos, round(avg(val), 6) AS cm FROM (
+              SELECT cell_id, unnest(v) AS val,
+                     generate_subscripts(v, 1) AS pos
+              FROM a{i}
+            ) GROUP BY 1, 2
+          ) GROUP BY 1
+        )"""
+            )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT vec_id, cell_id, round(d2, 4) AS d2 FROM a{iters}"
+    )
+
+
+ORACLE["kmeans_cells"] = _kmeans_oracle_sql(_KMEANS_ITERS)

@@ -236,3 +236,42 @@ def test_pipeline_lineage_resume_and_fingerprints(spark):
     assert all(r.run2_action == "resumed" for r in rows), rows
     assert all(r.lineage_rows == r.rows for r in rows), rows
     assert all(r.lineage_parts >= 1 for r in rows)
+
+
+def test_bloom_one_sided_error_per_gram(duck):
+    """Bloom contract at the PER-GRAM level (the per-doc counts in the
+    query only imply it in aggregate): every trigram in the base vocabulary
+    must be bloom-seen -- a Bloom filter has false positives, never false
+    negatives. Runs on the oracle side; test_query_matches_oracle proves
+    the Spark side value-identical, so the contract transfers."""
+    from lsh_for_source_code_spark import entry_queries as eq
+
+    sql = eq.ORACLE["bloom_novelty"]
+    probe = sql[: sql.rindex("SELECT")] + (
+        """
+        SELECT count(*) AS false_negs
+        FROM delta_toks t
+        JOIN base_vocab v USING (tok)
+        LEFT JOIN bloom_seen b ON t.doc_id = b.doc_id AND t.tok = b.tok
+        WHERE b.tok IS NULL
+        """
+    )
+    assert duck.execute(probe).fetchone()[0] == 0
+    # and the FP path is actually exercised at this corpus (non-degenerate)
+    df = duck.execute(sql).df()
+    assert (df.n_seen_bloom >= df.n_seen_exact).all()
+    assert df.n_grams.sum() > df.n_seen_exact.sum(), "no novelty probed"
+
+
+def test_kmeans_inertia_non_increasing(duck):
+    """Lloyd's guarantee: mean squared distance to the assigned centroid
+    can only go down across iterations. Checked through the SAME generated
+    oracle SQL the cross-engine test uses (iters=1 vs the shipped
+    _KMEANS_ITERS), so it certifies the unrolled update logic itself."""
+    from lsh_for_source_code_spark import entry_queries as eq
+
+    means = [
+        duck.execute(eq._kmeans_oracle_sql(i)).df().d2.mean()
+        for i in (1, eq._KMEANS_ITERS)
+    ]
+    assert means[1] <= means[0] + 1e-9, means
