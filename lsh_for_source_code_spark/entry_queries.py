@@ -1064,9 +1064,10 @@ def q_embedding_ivf_topk(spark, sf_dir):
     query's top-2 cells, exact-cosine re-rank inside the probed cells.
 
     Centroids here are a deterministic corpus sample (vec_id % 31 == 0) so
-    BOTH engines derive them from the data with no out-of-band artifact; a
-    production run swaps in k-means-trained centroids (a tiny driver-side
-    artifact) with the IDENTICAL plan shape. The 100 TB shape: the centroid
+    BOTH engines derive them from the data with no out-of-band artifact;
+    q_kmeans_cells is the in-repo trainer, and
+    test_ivf_with_kmeans_trained_centroids proves its trained centroids
+    drop into this IDENTICAL plan (_ivf_topk). The 100 TB shape: the centroid
     set broadcasts (C ~ sqrt(N) rows), assignment is one scan + per-row
     argmax, the probe set (n_queries x nprobe rows) broadcasts, and only the
     probed cells' vectors are re-ranked -- never an all-pairs join. Rounding
@@ -1078,6 +1079,13 @@ def q_embedding_ivf_topk(spark, sf_dir):
     cents = emb.filter(F.col("vec_id") % 31 == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
     )
+    return _ivf_topk(emb, cents)
+
+
+def _ivf_topk(emb, cents, nprobe: int = 2, k: int = 5):
+    """IVF probe core, parameterized on the centroid table so the SAME plan
+    runs with sample centroids (q_embedding_ivf_topk, oracle-checked) or
+    k-means-trained ones (test_ivf_with_kmeans_trained_centroids)."""
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("s"), F.asc("cell_id")
     )
@@ -1087,9 +1095,9 @@ def q_embedding_ivf_topk(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w_assign))
     )
     assign = scored.filter(F.col("rn") == 1).select("vec_id", "cell_id")
-    probes = scored.filter((F.col("vec_id") < 10) & (F.col("rn") <= 2)).select(
-        F.col("vec_id").alias("query_id"), "cell_id"
-    )
+    probes = scored.filter(
+        (F.col("vec_id") < 10) & (F.col("rn") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"), "cell_id")
     cand = (
         assign.join(F.broadcast(probes), "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1107,7 +1115,7 @@ def q_embedding_ivf_topk(spark, sf_dir):
         .join(nv, "neighbor_id")
         .withColumn("cos_raw", _cosine(F.col("qv"), F.col("nv")))
         .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= k)
         .select(
             "query_id",
             F.col("neighbor_id"),
@@ -2106,60 +2114,70 @@ def q_kmeans_cells(spark, sf_dir):
     cents = emb.filter(F.col("vec_id") % 31 == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
     )
-    nv2 = _dot(F.col("v"), F.col("v"))
-
-    def _argmin_fold(cs):
-        init = F.struct(
-            F.lit(float("inf")).alias("d2"),
-            F.lit(-1).cast("long").alias("cell_id"),
-        )
-
-        def step(acc, c):
-            d2 = F.round(
-                nv2 + _dot(c["cv"], c["cv"]) - 2 * _dot(F.col("v"), c["cv"]),
-                6,
-            )
-            better = d2 < acc["d2"]
-            return F.struct(
-                F.when(better, d2).otherwise(acc["d2"]).alias("d2"),
-                F.when(better, c["cell_id"])
-                .otherwise(acc["cell_id"])
-                .alias("cell_id"),
-            )
-
-        return F.aggregate(cs, init, step)
-
     assign = None
     for it in range(_KMEANS_ITERS):
-        cents_row = cents.agg(
-            F.sort_array(F.collect_list(F.struct("cell_id", "cv"))).alias("cs")
-        )
-        assign = (
-            emb.crossJoin(F.broadcast(cents_row))
-            .withColumn("am", _argmin_fold(F.col("cs")))
-            .select(
-                "vec_id",
-                F.col("am.cell_id").alias("cell_id"),
-                "v",
-                F.col("am.d2").alias("d2"),
-            )
-        )
+        assign = _kmeans_assign(emb, cents)
         if it < _KMEANS_ITERS - 1:
-            cents = (
-                assign.select(
-                    "cell_id", F.posexplode("v").alias("pos", "val")
-                )
-                .groupBy("cell_id", "pos")
-                .agg(F.round(F.avg("val"), 6).alias("cm"))
-                .groupBy("cell_id")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "cm"))),
-                        lambda x: x["cm"],
-                    ).alias("cv")
-                )
-            )
+            cents = _kmeans_update(assign)
     return assign.select("vec_id", "cell_id", F.round("d2", 4).alias("d2"))
+
+
+def _kmeans_assign(emb, cents):
+    """One shuffle-free Lloyd assignment step: collapse `cents` to a single
+    broadcast row of cell_id-sorted struct(cell_id, cv) and fold each
+    vector over it with an F.aggregate HOF tracking the running
+    (d2, cell_id) argmin -- strict < on the sorted fold == the
+    (d2 ASC, cell_id ASC) tie-break the DuckDB oracle uses."""
+    nv2 = _dot(F.col("v"), F.col("v"))
+    init = F.struct(
+        F.lit(float("inf")).alias("d2"),
+        F.lit(-1).cast("long").alias("cell_id"),
+    )
+
+    def step(acc, c):
+        d2 = F.round(
+            nv2 + _dot(c["cv"], c["cv"]) - 2 * _dot(F.col("v"), c["cv"]), 6
+        )
+        better = d2 < acc["d2"]
+        return F.struct(
+            F.when(better, d2).otherwise(acc["d2"]).alias("d2"),
+            F.when(better, c["cell_id"])
+            .otherwise(acc["cell_id"])
+            .alias("cell_id"),
+        )
+
+    cents_row = cents.agg(
+        F.sort_array(F.collect_list(F.struct("cell_id", "cv"))).alias("cs")
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents_row))
+        .withColumn("am", F.aggregate(F.col("cs"), init, step))
+        .select(
+            "vec_id",
+            F.col("am.cell_id").alias("cell_id"),
+            "v",
+            F.col("am.d2").alias("d2"),
+        )
+    )
+
+
+def _kmeans_update(assign):
+    """Lloyd centroid update: elementwise mean per cell via posexplode ->
+    groupBy(cell, pos) with map-side combine -> array rebuild; components
+    rounded to 6dp for engine stability. Shuffle is C*dim keys, never
+    corpus-sized."""
+    return (
+        assign.select("cell_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cell_id", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("cm"))
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cm"))),
+                lambda x: x["cm"],
+            ).alias("cv")
+        )
+    )
 
 
 _BLOOM_M, _BLOOM_K = 131072, 4  # bits, probes: ~0.35 fill / ~1.6% FP at the

@@ -275,3 +275,33 @@ def test_kmeans_inertia_non_increasing(duck):
         for i in (1, eq._KMEANS_ITERS)
     ]
     assert means[1] <= means[0] + 1e-9, means
+
+
+def test_ivf_with_kmeans_trained_centroids(spark):
+    """Closes the loop the IVF/semdedup docstrings promise: kmeans_cells IS
+    the trainer, and the trained centroids drop into the IDENTICAL IVF
+    probe plan (_ivf_topk) with no plumbing changes. Asserts the trained
+    path still clears the recall floor of the sample-centroid path and
+    returns full top-5 rows for every query vector."""
+    from pyspark.sql import functions as F
+
+    from lsh_for_source_code_spark import entry_queries as eq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    for _ in range(eq._KMEANS_ITERS - 1):
+        cents = eq._kmeans_update(eq._kmeans_assign(emb, cents))
+    trained = eq._ivf_topk(emb, cents).toPandas()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in entry_mod.queries()["embedding_topk"](spark, SF_DIR).collect()
+    }
+    approx = set(zip(trained.query_id, trained.neighbor_id))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"trained-centroid IVF recall@5 = {recall:.3f}"
+    assert trained.groupby("query_id").size().eq(5).all()
