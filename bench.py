@@ -55,6 +55,9 @@ HEADLINE = [
     "embedding_topk",
     "agg_lineitem",
     "broadcast_dim_join",
+    "semdedup",
+    "kmeans_cells",
+    "bloom_novelty",
 ]
 
 
