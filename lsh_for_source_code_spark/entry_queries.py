@@ -1992,8 +1992,15 @@ def q_semdedup(spark, sf_dir):
     operator chooses, never an all-pairs join over the corpus. Cosines are
     rounded to 6dp before the threshold/tie logic so a last-ulp summation
     difference can never flip a keep decision between engines."""
-    emb = _read(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    # one-split local parquet + interpreted cosine HOFs: spread the scan
+    # (keyed repartition; at cluster scale the scan has natural splits)
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     cents = emb.filter(F.col("vec_id") % 31 == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
