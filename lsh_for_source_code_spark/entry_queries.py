@@ -2351,6 +2351,219 @@ def q_doc_length_quantiles(spark, sf_dir):
     )
 
 
+#: HyperLogLog parameters: p=10 -> m=1024 registers; hashes are the repo's
+#: standard 60-bit sha256 prefix (engine-portable), so 50 value bits feed
+#: the leading-zero count and rho ranges over 1..51.
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_W = 60 - _HLL_P
+#: alpha_m * m^2 * 2^(W+1), folded into ONE Python-computed double so both
+#: engines evaluate a single literal/division (no cross-engine float drift):
+#: E_raw = _HLL_SCALE / (sum(2^(W+1-rho)) + zero_registers * 2^(W+1)).
+_HLL_SCALE = (
+    0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(1 << (_HLL_W + 1))
+)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Per-language HyperLogLog distinct-token estimate next to the exact
+    count it approximates (Flajolet et al. 2007) -- the third mergeable
+    sketch in the family (membership: bloom_novelty; frequency:
+    cms_heavy_hitters). Cardinality profiling (vocab growth, per-shard
+    distinct URLs/hashes) is a standing 100 TB need where exact
+    countDistinct must shuffle every distinct value; HLL registers are a
+    fixed m-row table whose per-partition maxes merge associatively, so the
+    plan is two map-side-combinable aggregations and the network carries at
+    most m rows per group.
+
+    Determinism contract (what makes this oracle-checkable, unlike
+    approx_count_distinct whose HLL++ internals DuckDB does not share):
+    register/rho derive from the sha256-prefix hash via exact bit ops, the
+    harmonic sum is EXACT INTEGER arithmetic (sum of 2^(51-rho) scaled by
+    2^51 -- max 1024 * 2^50 < 2^63, no float summation order anywhere), and
+    the estimate is one literal-over-integer division. The small-range
+    branch is Flajolet's linear counting m*ln(m/V); both engines hit the
+    same branch because the branch condition compares identical doubles.
+    The counted unit is the word-trigram (the bloom_novelty vocabulary
+    unit): the corpus token vocabulary (~31/lang) would sit entirely in the
+    linear-counting regime, while per-language trigram vocabularies
+    (~2-4k) straddle the 2.5m branch point, so the testdata exercises the
+    raw estimator too."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(_trigram_strings(F.col("text"))).alias("tok")
+    )
+    h = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10).cast(
+        "long"
+    )
+    rest = F.shiftright(h, _HLL_P)
+    rho = F.when(rest == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin(rest))
+    )
+    regs = (
+        toks.select(
+            "lang",
+            h.bitwiseAND(F.lit(_HLL_M - 1)).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("lang", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    two_pow = F.lit(1 << (_HLL_W + 1)).cast("long")
+    per_lang = regs.groupBy("lang").agg(
+        F.count("*").alias("nz"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_W + 1} - mx AS INT))"
+            )
+        ).alias("s_scaled"),
+    )
+    zeros = F.lit(_HLL_M).cast("long") - F.col("nz")
+    denom = (F.col("s_scaled") + zeros * two_pow).cast("double")
+    raw = F.lit(_HLL_SCALE) / denom
+    est = F.round(
+        F.when(
+            (raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0),
+            F.lit(float(_HLL_M))
+            * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
+        ).otherwise(raw),
+        2,
+    )
+    exact = toks.groupBy("lang").agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("tok").alias("exact_distinct"),
+    )
+    out = per_lang.join(F.broadcast(exact), "lang").select(
+        "lang",
+        "n_grams",
+        "exact_distinct",
+        F.col("nz").alias("nonzero_regs"),
+        F.round(raw, 2).alias("hll_raw"),
+        est.alias("hll_est"),
+    )
+    return out.select(
+        out["*"],
+        F.round(
+            (F.col("hll_est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+#: Count-min sketch parameters: d=4 independent rows (8-hex-digit sha256
+#: windows, the bloom_novelty idiom) x w=1024 buckets.
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_TOPK = 20
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequency estimates (Cormode & Muthukrishnan 2005)
+    for the top-20 exact heavy-hitter tokens, emitting exact count, CMS
+    estimate, and the one-sided overestimate. Completes the mergeable-
+    sketch family (cardinality: hll_distinct; membership: bloom_novelty):
+    the sketch is a fixed d*w=4096-row count table built by ONE map-side-
+    combinable aggregation -- at 100 TB per-partition tables merge by
+    elementwise sum and the network carries 4096 rows, while the exact
+    top-k it is checked against must shuffle the full vocabulary.
+
+    Both engines build the identical sketch (buckets are sha256 hex
+    windows mod w, counts are exact integers; estimate = min over the d
+    rows), so the CMS guarantee est >= exact is value-checked row by row,
+    not taken on faith. Top-20 selection tie-breaks on token text so the
+    cutoff is deterministic. Spark's top-k is TakeOrdered (per-partition
+    heaps, never a global sort). The counted unit is per-doc-distinct
+    word trigrams (doc frequency of a phrase -- the boilerplate-detection
+    signal); the ~14k trigram vocabulary over w=1024 buckets makes real
+    collisions, so the emitted overestimates are nonzero and the
+    one-sidedness check is non-vacuous."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_trigram_strings(F.col("text"))).alias("tok"))
+    sha = F.sha2(F.col("tok"), 256)
+    buckets = F.array(
+        *[
+            (
+                F.conv(F.substring(sha, 1 + i * 8, 8), 16, 10).cast("long")
+                % _CMS_W
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+    cms = (
+        toks.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "tok")
+        .limit(_CMS_TOPK)
+    )
+    probe = top.select(
+        "tok", "exact_cnt", F.posexplode(buckets).alias("row", "bucket")
+    )
+    return (
+        probe.join(cms, ["row", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "tok",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
+
+
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style language-model quality score (Wenzek et al. 2019 filter
+    by LM perplexity; this is the engine-native analogue): an add-one-
+    smoothed word-bigram LM is trained on the corpus itself, then every
+    document is scored by its average negative log-likelihood
+    -avg(ln((c(w1,w2)+1)/(c(w1)+V))) -- low avg_nll = fluent/repetitive-
+    boilerplate text, high = unusual token sequences. Gives curation a
+    model-based quality axis alongside the heuristic ratios
+    (quality_score) and repetition signals (repetition_profile).
+
+    Plan: bigram and unigram count tables are two map-side-combinable
+    aggregations (vocab-sized outputs); V joins as a broadcast one-row
+    aggregate; the scoring join shuffles the exploded bigram stream on the
+    bigram key -- linear in corpus tokens, the same posting-join shape as
+    ngram_jaccard_pairs, with AQE free to broadcast the count tables when
+    the vocabulary is small. Docs with <2 tokens have no bigrams and drop
+    out in both engines."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    ex = docs.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    cb = ex.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    uni = docs.select(F.explode(toks).alias("tok"))
+    cu = uni.groupBy("tok").agg(F.count("*").alias("cu"))
+    v = uni.agg(F.countDistinct("tok").cast("double").alias("v"))
+    nll = -F.log(
+        (F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v"))
+    )
+    return (
+        ex.join(cb, ["w1", "w2"])
+        .join(cu, ex["w1"] == cu["tok"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 5).alias("avg_nll"),
+        )
+    )
+
+
 QUERIES = {
     "content_sha": q_content_sha,
     "exact_dup_groups": q_exact_dup_groups,
@@ -2411,6 +2624,9 @@ QUERIES = {
     "kmeans_cells": q_kmeans_cells,
     "bloom_novelty": q_bloom_novelty,
     "doc_length_quantiles": q_doc_length_quantiles,
+    "hll_distinct": q_hll_distinct,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "lm_quality": q_lm_quality,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -3332,6 +3548,126 @@ ORACLE = {
           FROM scored
         )
         SELECT doc_id, rnk, tok, tf, df, score FROM ranked WHERE rnk <= 5
+    """,
+    # HyperLogLog: identical register/rho bit-derivation from the shared
+    # sha256-prefix hash; harmonic sum in EXACT integer arithmetic (scaled
+    # by 2^51); estimate = one python-folded literal / integer-denominator
+    # division, so both engines produce the same IEEE double.
+    "hll_distinct": f"""
+        WITH rawtoks AS (
+          SELECT lang, regexp_extract_all(coalesce(text, ''),
+                                          '{_TOKEN_RE_SQL}') AS ts
+          FROM documents
+        ), toks AS (
+          SELECT lang,
+                 unnest(list_distinct(
+                   [ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+                    for i in range(1, len(ts) - 1)])) AS tok
+          FROM rawtoks
+        ), h AS (
+          SELECT lang, tok,
+                 ('0x' || substr(sha256(tok), 1, 15))::UBIGINT AS h
+          FROM toks
+        ), r AS (
+          SELECT lang, (h % {_HLL_M})::BIGINT AS reg,
+                 CASE WHEN (h // {_HLL_M}) = 0 THEN {_HLL_W + 1}
+                      ELSE {_HLL_W + 1} - length(bin(h // {_HLL_M}))
+                 END AS rho
+          FROM h
+        ), regs AS (
+          SELECT lang, reg, max(rho) AS mx FROM r GROUP BY 1, 2
+        ), per_lang AS (
+          SELECT lang, count(*)::BIGINT AS nz,
+                 sum(1::BIGINT << ({_HLL_W + 1} - mx))::BIGINT AS s_scaled
+          FROM regs GROUP BY 1
+        ), ex AS (
+          SELECT lang, count(*)::BIGINT AS n_grams,
+                 count(DISTINCT tok)::BIGINT AS exact_distinct
+          FROM toks GROUP BY 1
+        ), est AS (
+          SELECT p.lang, n_grams, exact_distinct, nz AS nonzero_regs,
+                 {_HLL_SCALE!r} /
+                   (s_scaled + ({_HLL_M} - nz) * {1 << (_HLL_W + 1)})::DOUBLE
+                   AS raw,
+                 ({_HLL_M} - nz) AS zeros
+          FROM per_lang p JOIN ex USING (lang)
+        ), fin AS (
+          SELECT lang, n_grams, exact_distinct, nonzero_regs,
+                 round(raw, 2) AS hll_raw,
+                 round(CASE WHEN raw <= {2.5 * _HLL_M!r} AND zeros > 0
+                            THEN {float(_HLL_M)!r} *
+                                 ln({float(_HLL_M)!r} / zeros::DOUBLE)
+                            ELSE raw END, 2) AS hll_est
+          FROM est
+        )
+        SELECT *, round((hll_est - exact_distinct) / exact_distinct, 4)
+                    AS rel_err
+        FROM fin
+    """,
+    # count-min sketch: identical d x w count table from sha256 hex-window
+    # buckets; estimate = min over the d rows; exact top-20 tie-broken on
+    # token text.
+    "cms_heavy_hitters": f"""
+        WITH rawtoks AS (
+          SELECT regexp_extract_all(coalesce(text, ''),
+                                    '{_TOKEN_RE_SQL}') AS ts
+          FROM documents
+        ), toks AS (
+          SELECT unnest(list_distinct(
+                   [ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+                    for i in range(1, len(ts) - 1)])) AS tok
+          FROM rawtoks
+        ), ks AS (
+          SELECT unnest(range({_CMS_D})) AS i
+        ), cms AS (
+          SELECT i AS row,
+                 (('0x' || substr(sha256(tok), 1 + i * 8, 8))::UBIGINT
+                  % {_CMS_W})::BIGINT AS bucket,
+                 count(*)::BIGINT AS cnt
+          FROM toks CROSS JOIN ks GROUP BY 1, 2
+        ), top AS (
+          SELECT tok, count(*)::BIGINT AS exact_cnt
+          FROM toks GROUP BY 1
+          ORDER BY exact_cnt DESC, tok LIMIT {_CMS_TOPK}
+        ), probe AS (
+          SELECT tok, exact_cnt, i AS row,
+                 (('0x' || substr(sha256(tok), 1 + i * 8, 8))::UBIGINT
+                  % {_CMS_W})::BIGINT AS bucket
+          FROM top CROSS JOIN ks
+        )
+        SELECT tok, exact_cnt, min(cnt) AS cms_est,
+               min(cnt) - exact_cnt AS overestimate
+        FROM probe JOIN cms USING (row, bucket)
+        GROUP BY 1, 2
+    """,
+    # add-one bigram LM: c(w1) counts ALL occurrences of w1 (both engines);
+    # docs with < 2 tokens have no bigrams and drop out of both.
+    "lm_quality": f"""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(coalesce(text, ''),
+                                            '{_TOKEN_RE_SQL}') AS toks
+          FROM documents
+        ), e AS (
+          SELECT doc_id, s['w1'] AS w1, s['w2'] AS w2
+          FROM (
+            SELECT doc_id,
+                   unnest([{{'w1': toks[i], 'w2': toks[i + 1]}}
+                           FOR i IN range(1, len(toks))]) AS s
+            FROM t
+          )
+        ), cb AS (
+          SELECT w1, w2, count(*)::BIGINT AS cb FROM e GROUP BY 1, 2
+        ), cu AS (
+          SELECT tok, count(*)::BIGINT AS cu
+          FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+        ), v AS (
+          SELECT count(DISTINCT tok)::DOUBLE AS v
+          FROM (SELECT unnest(toks) AS tok FROM t)
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(-avg(ln((cb + 1.0) / (cu + v))), 5) AS avg_nll
+        FROM e JOIN cb USING (w1, w2) JOIN cu ON e.w1 = cu.tok CROSS JOIN v
+        GROUP BY doc_id
     """,
 }
 
