@@ -58,6 +58,9 @@ HEADLINE = [
     "semdedup",
     "kmeans_cells",
     "bloom_novelty",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "lm_quality",
 ]
 
 

@@ -2389,10 +2389,22 @@ def q_hll_distinct(spark, sf_dir):
     linear-counting regime, while per-language trigram vocabularies
     (~2-4k) straddle the 2.5m branch point, so the testdata exercises the
     raw estimator too."""
-    docs = _read(spark, sf_dir, "documents")
-    toks = docs.select(
-        "lang", F.explode(_trigram_strings(F.col("text"))).alias("tok")
+    # Two cost levers (measured 10.3s -> ~2s warm at sf0.1/local[32]):
+    # (1) keyed PRE-repartition spreads the interpreted trigram HOF over
+    # the session's cores; (2) the stream collapses to DISTINCT
+    # (lang, gram) rows via ONE map-side-combined aggregation BEFORE any
+    # hashing, so the sha256/conv/bin chain runs on the ~k-per-lang
+    # vocabulary instead of every occurrence (duplicates cannot change a
+    # register max). Both downstream consumers (register agg, exact agg)
+    # share that exchange subtree -> ReusedExchange computes the gram
+    # arrays once (the bloom_novelty pattern).
+    dp = spark.sparkContext.defaultParallelism
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .repartition(dp, "doc_id")
+        .select("lang", F.explode(_trigram_strings(F.col("text"))).alias("tok"))
     )
+    gram_counts = docs.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
     h = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10).cast(
         "long"
     )
@@ -2401,7 +2413,7 @@ def q_hll_distinct(spark, sf_dir):
         F.lit(_HLL_W + 1) - F.length(F.bin(rest))
     )
     regs = (
-        toks.select(
+        gram_counts.select(
             "lang",
             h.bitwiseAND(F.lit(_HLL_M - 1)).alias("reg"),
             rho.alias("rho"),
@@ -2429,9 +2441,9 @@ def q_hll_distinct(spark, sf_dir):
         ).otherwise(raw),
         2,
     )
-    exact = toks.groupBy("lang").agg(
-        F.count("*").alias("n_grams"),
-        F.countDistinct("tok").alias("exact_distinct"),
+    exact = gram_counts.groupBy("lang").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count("*").alias("exact_distinct"),
     )
     out = per_lang.join(F.broadcast(exact), "lang").select(
         "lang",
@@ -2478,8 +2490,20 @@ def q_cms_heavy_hitters(spark, sf_dir):
     signal); the ~14k trigram vocabulary over w=1024 buckets makes real
     collisions, so the emitted overestimates are nonzero and the
     one-sidedness check is non-vacuous."""
-    docs = _read(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(_trigram_strings(F.col("text"))).alias("tok"))
+    # Same two cost levers as hll_distinct (measured there: 10s -> ~2s at
+    # sf0.1/local[32]): keyed PRE-repartition spreads the interpreted
+    # trigram HOF, then the stream collapses to DISTINCT gram counts via
+    # ONE map-side-combined aggregation BEFORE any hashing -- the sketch
+    # increments by cnt instead of by occurrence, so the sha256 windows run
+    # on the ~14k-gram vocabulary, and all three consumers (sketch table,
+    # exact top-k, probe) share the exchange subtree (ReusedExchange).
+    dp = spark.sparkContext.defaultParallelism
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .repartition(dp, "doc_id")
+        .select(F.explode(_trigram_strings(F.col("text"))).alias("tok"))
+    )
+    gram_counts = docs.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
     sha = F.sha2(F.col("tok"), 256)
     buckets = F.array(
         *[
@@ -2491,16 +2515,13 @@ def q_cms_heavy_hitters(spark, sf_dir):
         ]
     )
     cms = (
-        toks.select(F.posexplode(buckets).alias("row", "bucket"))
+        gram_counts.select(
+            "exact_cnt", F.posexplode(buckets).alias("row", "bucket")
+        )
         .groupBy("row", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("exact_cnt").alias("cnt"))
     )
-    top = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), "tok")
-        .limit(_CMS_TOPK)
-    )
+    top = gram_counts.orderBy(F.desc("exact_cnt"), "tok").limit(_CMS_TOPK)
     probe = top.select(
         "tok", "exact_cnt", F.posexplode(buckets).alias("row", "bucket")
     )
@@ -2534,7 +2555,6 @@ def q_lm_quality(spark, sf_dir):
     ngram_jaccard_pairs, with AQE free to broadcast the count tables when
     the vocabulary is small. Docs with <2 tokens have no bigrams and drop
     out in both engines."""
-    docs = _read(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
@@ -2542,11 +2562,22 @@ def q_lm_quality(spark, sf_dir):
         F.slice(toks, 2, n1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    ex = docs.select("doc_id", F.explode(bigrams).alias("bg")).select(
+    # keyed pre/post-repartition around the interpreted zip_with HOF: the
+    # post-exchange subtree (token + bigram arrays) is identical in all
+    # four consumers (bigram counts, scoring join, unigram counts, V) so
+    # ReusedExchange computes the arrays once (bloom_novelty pattern).
+    dp = spark.sparkContext.defaultParallelism
+    base = (
+        _read(spark, sf_dir, "documents")
+        .repartition(dp, "doc_id")
+        .select("doc_id", toks.alias("toks"), bigrams.alias("bgs"))
+        .repartition(dp, "doc_id")
+    )
+    ex = base.select("doc_id", F.explode("bgs").alias("bg")).select(
         "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
     cb = ex.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    uni = docs.select(F.explode(toks).alias("tok"))
+    uni = base.select(F.explode("toks").alias("tok"))
     cu = uni.groupBy("tok").agg(F.count("*").alias("cu"))
     v = uni.agg(F.countDistinct("tok").cast("double").alias("v"))
     nll = -F.log(

@@ -55,6 +55,9 @@ _AUDITED = [
     "minhash_kernel_twin",
     "simhash_kernel_twin",
     "curation_funnel",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "lm_quality",
 ]
 
 
@@ -115,6 +118,24 @@ def test_tpch_join_shapes(spark):
     assert p.count("BroadcastHashJoin") >= 3, p[:2000]
     pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
     assert any("o_orderdate" in ln for ln in pushed), pushed
+
+
+def test_sketch_plan_discipline(spark):
+    """The sketch queries' scale contracts, at the plan level: HLL register
+    maxes and CMS bucket counts must combine map-side (the sketch-merge
+    property is exactly the partial aggregate), the CMS exact top-20 must
+    be a TakeOrdered (per-partition heaps, never a global sort), and
+    lm_quality's one-row V aggregate must broadcast, never cartesian."""
+    simple = _plan(spark, QUERIES["hll_distinct"](spark, SF_DIR), "simple")
+    ex = simple.index("Exchange")
+    assert "partial_max" in simple[ex:], "HLL register merge not map-side"
+    p = _plan(spark, QUERIES["cms_heavy_hitters"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, "exact top-20 must not full-sort"
+    simple = _plan(spark, QUERIES["cms_heavy_hitters"](spark, SF_DIR), "simple")
+    ex = simple.index("Exchange")
+    assert "partial_count" in simple[ex:], "CMS bucket counts not map-side"
+    p = _plan(spark, QUERIES["lm_quality"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p, "one-row V must broadcast"
 
 
 def test_scan_column_pruning(spark):
