@@ -2613,6 +2613,94 @@ def q_lm_quality(spark, sf_dir):
     )
 
 
+#: C4/RefinedWeb-style chunk dedup unit: fixed token-window "paragraphs"
+#: (the testdata has no newline structure, so the chunk boundary is the
+#: deterministic 20-token grid; on real corpora the same plan splits on
+#: '\\n\\n').
+_CHUNK_TOKENS = 20
+
+
+def q_chunk_dedup_rewrite(spark, sf_dir):
+    """Corpus-level chunk dedup that REWRITES the documents (C4's
+    three-sentence-span rule / RefinedWeb line dedup, re-expressed on a
+    deterministic 20-token chunk grid): a chunk occurring in >= 2 distinct
+    docs is kept only in its keeper doc (min doc_id) and dropped
+    everywhere else; each doc's surviving chunks are re-assembled in
+    original order and fingerprinted. Every other dedup op in the engine
+    REPORTS (pairs, clusters, manifests); this one emits the transform a
+    curation pipeline actually applies, and the rewritten-text sha256 is
+    value-checked cross-engine so the rewrite itself -- not just the drop
+    counts -- is proven identical.
+
+    Plan: chunk stats (distinct-doc count + keeper) are ONE map-side-
+    combinable aggregation on the chunk key; the decision join shuffles
+    (doc, pos, chunk) rows on that key (linear in corpus chunks -- at
+    100 TB the join key becomes the chunk's 8-byte hash, same as
+    duplicate_spans, with strings carried only to re-assembly);
+    re-assembly is a per-doc groupBy whose state is bounded by document
+    size, never corpus size."""
+    toks = _tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(_CHUNK_TOKENS)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    toks,
+                    (i - 1) * _CHUNK_TOKENS + 1,
+                    _CHUNK_TOKENS,
+                ),
+            ).alias("chunk"),
+        ),
+    )
+    chunks = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.size(toks) > 0)
+        .select("doc_id", F.explode(chunk_arr).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.chunk").alias("chunk"))
+    )
+    stats = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("ndocs"),
+        F.min("doc_id").alias("keeper"),
+    )
+    keep = (F.col("ndocs") == 1) | (F.col("doc_id") == F.col("keeper"))
+    return (
+        chunks.join(stats, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(keep, 0).otherwise(1)).alias("n_dropped"),
+            F.sha2(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    keep, F.struct("pos", "chunk")
+                                )
+                            )
+                        ),
+                        lambda x: x["chunk"],
+                    ),
+                ),
+                256,
+            ).alias("kept_sha"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dropped",
+            F.round(
+                1 - F.col("n_dropped") / F.col("n_chunks"), 6
+            ).alias("retained_ratio"),
+            "kept_sha",
+        )
+    )
+
+
 QUERIES = {
     "content_sha": q_content_sha,
     "exact_dup_groups": q_exact_dup_groups,
@@ -2676,6 +2764,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "lm_quality": q_lm_quality,
+    "chunk_dedup_rewrite": q_chunk_dedup_rewrite,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -3718,6 +3807,46 @@ ORACLE = {
         SELECT doc_id, count(*) AS n_bigrams,
                round(-avg(ln((cb + 1.0) / (cu + v))), 5) AS avg_nll
         FROM e JOIN cb USING (w1, w2) JOIN cu ON e.w1 = cu.tok CROSS JOIN v
+        GROUP BY doc_id
+    """,
+    # chunk dedup + rewrite: 20-token grid, cross-doc duplicated chunks
+    # kept only in the min-doc_id keeper; rewritten text re-assembled in
+    # pos order and sha256'd (the TRANSFORM is value-checked, not just
+    # the drop counts).
+    "chunk_dedup_rewrite": f"""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(coalesce(text, ''),
+                                            '{_TOKEN_RE_SQL}') AS toks
+          FROM documents
+        ), c AS (
+          SELECT doc_id, s['pos'] AS pos, s['chunk'] AS chunk
+          FROM (
+            SELECT doc_id,
+                   unnest([{{'pos': i,
+                             'chunk': array_to_string(
+                               toks[(i - 1) * {_CHUNK_TOKENS} + 1
+                                    : i * {_CHUNK_TOKENS}], ' ')}}
+                           FOR i IN range(1,
+                             ((len(toks) + {_CHUNK_TOKENS - 1})
+                               // {_CHUNK_TOKENS})::BIGINT + 1)]) AS s
+            FROM t WHERE len(toks) > 0
+          )
+        ), stats AS (
+          SELECT chunk, count(DISTINCT doc_id) AS ndocs,
+                 min(doc_id) AS keeper
+          FROM c GROUP BY 1
+        )
+        SELECT doc_id, count(*) AS n_chunks,
+               sum(CASE WHEN ndocs = 1 OR doc_id = keeper
+                        THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+               round(1 - sum(CASE WHEN ndocs = 1 OR doc_id = keeper
+                                  THEN 0 ELSE 1 END)::DOUBLE / count(*), 6)
+                 AS retained_ratio,
+               sha256(coalesce(
+                 string_agg(chunk, ' ' ORDER BY pos)
+                   FILTER (WHERE ndocs = 1 OR doc_id = keeper),
+                 '')) AS kept_sha
+        FROM c JOIN stats USING (chunk)
         GROUP BY doc_id
     """,
 }

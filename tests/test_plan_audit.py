@@ -58,6 +58,7 @@ _AUDITED = [
     "hll_distinct",
     "cms_heavy_hitters",
     "lm_quality",
+    "chunk_dedup_rewrite",
 ]
 
 
