@@ -114,3 +114,26 @@ def test_clusters_invariant_under_partition_count(spark, small_corpus):
     base = _clusters_of(spark, small_corpus)
     assert _clusters_of(spark, small_corpus.repartition(17)) == base
     assert _clusters_of(spark, small_corpus.coalesce(1)) == base
+
+
+def test_sketch_estimates_invariant_under_parallelism(spark):
+    """The new sketch queries' estimates must be bit-identical at any
+    shuffle width (the north rule's parallelism-invariance property,
+    extended to the sketch family): HLL's harmonic sum is exact integer
+    arithmetic and CMS/Bloom counts are exact integers, so no
+    float-summation order can leak partitioning into the output. Run each
+    query at the session default and at shuffle_partitions=3, compare
+    full row sets."""
+    from lsh_for_source_code_spark.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("hll_distinct", "cms_heavy_hitters", "chunk_dedup_rewrite"):
+        q = QUERIES[name]
+        base = {tuple(r) for r in q(spark, sf).collect()}
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            narrow = {tuple(r) for r in q(spark, sf).collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert narrow == base, name
