@@ -2278,6 +2278,13 @@ def q_bloom_novelty(spark, sf_dir):
     # still broadcasts (m/32 rows). A FIXED m either saturates upward of
     # its design corpus (measured: the old m=131072 was ~100% bloom-seen
     # at sf0.1, 10s of junk join work) or wastes broadcast bytes below it.
+    # m rides as a broadcast one-row aggregate (crossJoin'd into both
+    # probe sites), NOT a driver-side count().lit(): A/B'd at bench conf
+    # (local[32]/128 parts) -- walls are equal within this host's window
+    # noise, but the literal variant runs an EAGER extra HOF+distinct
+    # pass on every q() invocation that shares nothing with the main job
+    # (lazy-build contract violation), while the broadcast subquery plans
+    # into the one DAG and reuses the vocabulary exchange.
     m_row = F.broadcast(
         base_vocab.agg((F.count("*") * F.lit(8)).cast("long").alias("m"))
     )
