@@ -2708,6 +2708,69 @@ def q_chunk_dedup_rewrite(spark, sf_dir):
     )
 
 
+#: as-of lookback window (microseconds): a click attributes to the latest
+#: view no older than this.
+_ASOF_LOOKBACK_US = 30 * 60 * 1_000_000
+
+
+def q_asof_join_events(spark, sf_dir):
+    """As-of join -- the canonical 'operator Spark lacks' (no native ASOF
+    JOIN), expressed as a composition of existing DataFrame ops: every
+    click event joins the LATEST view event of the same user at-or-before
+    it (ties: views sort before clicks at equal ts; among equal-ts views
+    the max event_id wins), matched only within a 30-minute lookback.
+
+    Plan: both event roles ride ONE stream (no self-join at all) -- filter
+    to the two types, flag, and run a single user-partitioned window whose
+    order (ts, is_click, event_id) makes `last(ignorenulls)` carry the
+    most recent view forward into each click row. Exactly one Exchange
+    (hashpartitioning user_id) and one sort, both bounded by per-user
+    history -- versus the naive inequality self-join, which Catalyst can
+    only execute as a broadcast-nested-loop/cartesian. At 100 TB with
+    unbounded lookback histories, the same semantics bucketize: copy each
+    view to its 30-min time bucket and the next, equi-join on
+    (user, bucket), keep max view_ts -- still never a nested loop.
+    Time math is exact integer microseconds end to end. The gap times are
+    value-checked against DuckDB's independent window evaluation."""
+    from pyspark.sql import Window
+
+    s = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",  # TIMESTAMP_NTZ: ordering + timestampdiff stay exact,
+            # no epoch/timezone conversion anywhere
+            (F.col("event_type") == "click").cast("int").alias("is_click"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_id = F.when(F.col("is_click") == 0, F.col("event_id"))
+    view_ts = F.when(F.col("is_click") == 0, F.col("ts"))
+    carried = s.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_click",
+        F.last(view_id, ignorenulls=True).over(w).alias("last_view_id"),
+        F.last(view_ts, ignorenulls=True).over(w).alias("last_view_ts"),
+    )
+    gap = F.expr("timestampdiff(MICROSECOND, last_view_ts, ts)")
+    ok = F.col("last_view_ts").isNotNull() & (gap <= _ASOF_LOOKBACK_US)
+    return carried.filter(F.col("is_click") == 1).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.when(ok, F.col("last_view_id")).alias("view_id"),
+        F.when(ok, gap).alias("gap_us"),
+        ok.cast("int").alias("matched"),
+    )
+
+
 QUERIES = {
     "content_sha": q_content_sha,
     "exact_dup_groups": q_exact_dup_groups,
@@ -2772,6 +2835,7 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "lm_quality": q_lm_quality,
     "chunk_dedup_rewrite": q_chunk_dedup_rewrite,
+    "asof_join_events": q_asof_join_events,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -3855,6 +3919,42 @@ ORACLE = {
                  '')) AS kept_sha
         FROM c JOIN stats USING (chunk)
         GROUP BY doc_id
+    """,
+    # as-of join: same single-stream window construction evaluated
+    # independently (DuckDB IGNORE NULLS window); exact integer
+    # microsecond gaps.
+    "asof_join_events": f"""
+        WITH s AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+          FROM events WHERE event_type IN ('click', 'view')
+        ), wv AS (
+          SELECT *,
+                 last_value(CASE WHEN is_click = 0 THEN event_id END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts_us, is_click, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_view_id,
+                 last_value(CASE WHEN is_click = 0 THEN ts_us END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts_us, is_click, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_view_us
+          FROM s
+        )
+        SELECT event_id AS click_id, user_id,
+               CASE WHEN last_view_us IS NOT NULL
+                         AND ts_us - last_view_us <= {_ASOF_LOOKBACK_US}
+                    THEN last_view_id END AS view_id,
+               CASE WHEN last_view_us IS NOT NULL
+                         AND ts_us - last_view_us <= {_ASOF_LOOKBACK_US}
+                    THEN ts_us - last_view_us END AS gap_us,
+               (last_view_us IS NOT NULL
+                AND ts_us - last_view_us <= {_ASOF_LOOKBACK_US})::INT
+                 AS matched
+        FROM wv WHERE is_click = 1
     """,
 }
 

@@ -59,6 +59,7 @@ _AUDITED = [
     "cms_heavy_hitters",
     "lm_quality",
     "chunk_dedup_rewrite",
+    "asof_join_events",
 ]
 
 
@@ -137,6 +138,16 @@ def test_sketch_plan_discipline(spark):
     assert "partial_count" in simple[ex:], "CMS bucket counts not map-side"
     p = _plan(spark, QUERIES["lm_quality"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in p, "one-row V must broadcast"
+
+
+def test_asof_join_single_exchange_no_join(spark):
+    """The as-of join must compile to ONE user-keyed exchange feeding a
+    window -- never a join operator at all (the naive inequality self-join
+    degenerates to broadcast-nested-loop/cartesian, the exact failure mode
+    this composition exists to avoid)."""
+    p = _plan(spark, QUERIES["asof_join_events"](spark, SF_DIR), "simple")
+    assert p.count("Exchange") == 1, p
+    assert "Join" not in p, "as-of must not plan a join"
 
 
 def test_scan_column_pruning(spark):
