@@ -2771,6 +2771,59 @@ def q_asof_join_events(spark, sf_dir):
     )
 
 
+#: range-join half-window (microseconds): click/view pairs within +-5 min.
+_RANGE_US = 5 * 60 * 1_000_000
+
+
+def q_range_join_events(spark, sf_dir):
+    """Range (interval) join -- the other 'operator Spark lacks': all
+    (click, view) pairs of the same user within +-5 minutes of each other.
+    Written naively (`JOIN ON user AND abs(tv-tc) <= W`) Catalyst executes
+    the inequality as a per-user nested loop; bucketized, it becomes a pure
+    EQUI-join: each view replicates to its 5-minute time bucket and both
+    neighbors, clicks join on (user_id, bucket), and the exact band
+    predicate prunes inside the hash join. Every matching pair lands in
+    exactly one replica bucket (the one where view_bucket + offset ==
+    click_bucket), so no dedup pass is needed. The 3x replication of ONE
+    side buys a shuffle-hash plan whose cost is linear in matches per
+    bucket -- the bucket width is the skew/selectivity knob at 100 TB.
+    Time math: exact integer microseconds from a fixed NTZ epoch
+    (timestampdiff), no timezone conversion; deltas are value-checked
+    against DuckDB's independent inequality-join evaluation."""
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+    )
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", us.alias("ts_us")
+    )
+    bucket = F.floor(F.col("ts_us") / _RANGE_US)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts_us").alias("tc"),
+        bucket.alias("bucket"),
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts_us").alias("tv"),
+            bucket.alias("vb"),
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"),
+        )
+        .select(
+            "view_id", "user_id", "tv", (F.col("vb") + F.col("off")).alias("bucket")
+        )
+    )
+    delta = F.col("tv") - F.col("tc")
+    return (
+        clicks.join(views, ["user_id", "bucket"])
+        .filter(F.abs(delta) <= _RANGE_US)
+        .select("click_id", "view_id", "user_id", delta.alias("delta_us"))
+    )
+
+
 QUERIES = {
     "content_sha": q_content_sha,
     "exact_dup_groups": q_exact_dup_groups,
@@ -2836,6 +2889,7 @@ QUERIES = {
     "lm_quality": q_lm_quality,
     "chunk_dedup_rewrite": q_chunk_dedup_rewrite,
     "asof_join_events": q_asof_join_events,
+    "range_join_events": q_range_join_events,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -3955,6 +4009,21 @@ ORACLE = {
                 AND ts_us - last_view_us <= {_ASOF_LOOKBACK_US})::INT
                  AS matched
         FROM wv WHERE is_click = 1
+    """,
+    # range join: the oracle evaluates the NAIVE inequality join the
+    # bucketized plan replaces -- agreement proves the replication trick
+    # loses/duplicates nothing.
+    "range_join_events": f"""
+        WITH c AS (
+          SELECT event_id AS click_id, user_id, epoch_us(ts) AS tc
+          FROM events WHERE event_type = 'click'
+        ), v AS (
+          SELECT event_id AS view_id, user_id, epoch_us(ts) AS tv
+          FROM events WHERE event_type = 'view'
+        )
+        SELECT click_id, view_id, user_id, tv - tc AS delta_us
+        FROM c JOIN v USING (user_id)
+        WHERE abs(tv - tc) <= {_RANGE_US}
     """,
 }
 

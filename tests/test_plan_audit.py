@@ -60,6 +60,7 @@ _AUDITED = [
     "lm_quality",
     "chunk_dedup_rewrite",
     "asof_join_events",
+    "range_join_events",
 ]
 
 
@@ -148,6 +149,16 @@ def test_asof_join_single_exchange_no_join(spark):
     p = _plan(spark, QUERIES["asof_join_events"](spark, SF_DIR), "simple")
     assert p.count("Exchange") == 1, p
     assert "Join" not in p, "as-of must not plan a join"
+
+
+def test_range_join_is_equi_hash(spark):
+    """The bucketized range join must plan as a hash EQUI-join on
+    (user, bucket) -- never the nested-loop/cartesian the naive inequality
+    join produces; the band predicate prunes inside the join."""
+    p = _plan(spark, QUERIES["range_join_events"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p), p[:1500]
 
 
 def test_scan_column_pruning(spark):
