@@ -2824,6 +2824,33 @@ def q_range_join_events(spark, sf_dir):
     )
 
 
+def q_events_rollup_hierarchy(spark, sf_dir):
+    """Hierarchical time rollup (the hypertable continuous-aggregate
+    shape): event counts + value sums at FOUR granularities at once --
+    (type, day, hour), (type, day), (type), grand total -- via ROLLUP
+    grouping sets. One scan feeds all levels through a single Expand +
+    map-side-combined aggregation; the naive alternative unions four
+    separate scans/aggs. At 100 TB the coarser levels are exactly the
+    mergeable partials of the finer ones, which is why a hypertable can
+    maintain them incrementally. Level nulls are rollup-produced only
+    (day/hour derive non-null), so the level is identified by the null
+    pattern in both engines."""
+    e = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+        "value",
+    )
+    return (
+        e.rollup("event_type", "day", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("event_type", "day", "hour", "n_events", "sum_value")
+    )
+
+
 QUERIES = {
     "content_sha": q_content_sha,
     "exact_dup_groups": q_exact_dup_groups,
@@ -2890,6 +2917,7 @@ QUERIES = {
     "chunk_dedup_rewrite": q_chunk_dedup_rewrite,
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
+    "events_rollup_hierarchy": q_events_rollup_hierarchy,
 }
 
 _TOKEN_RE_SQL = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -4024,6 +4052,15 @@ ORACLE = {
         SELECT click_id, view_id, user_id, tv - tc AS delta_us
         FROM c JOIN v USING (user_id)
         WHERE abs(tv - tc) <= {_RANGE_US}
+    """,
+    # hierarchical rollup: same four grouping sets; nulls only from ROLLUP.
+    "events_rollup_hierarchy": """
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               extract(hour FROM ts)::INT AS hour,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'),
+                         extract(hour FROM ts)::INT)
     """,
 }
 

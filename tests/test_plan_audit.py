@@ -61,6 +61,7 @@ _AUDITED = [
     "chunk_dedup_rewrite",
     "asof_join_events",
     "range_join_events",
+    "events_rollup_hierarchy",
 ]
 
 
@@ -159,6 +160,16 @@ def test_range_join_is_equi_hash(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p), p[:1500]
+
+
+def test_rollup_single_scan_expand(spark):
+    """The hierarchical rollup must feed all four grouping-set levels from
+    ONE scan via Expand + a map-side-combined aggregation -- never a union
+    of per-level scans."""
+    p = _plan(spark, QUERIES["events_rollup_hierarchy"](spark, SF_DIR), "simple")
+    assert "Expand" in p, "rollup must use grouping-set Expand"
+    assert "Union" not in p, "rollup must not union per-level scans"
+    assert "partial_count" in p[p.index("Exchange"):], "no map-side combine"
 
 
 def test_scan_column_pruning(spark):
