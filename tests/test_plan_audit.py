@@ -20,7 +20,7 @@ from lsh_for_source_code_spark.entry_queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 #: queries whose plans are audited for the absence of cartesian products.
-#: (Not all 37: constructors that eagerly run sub-jobs -- CC label
+#: (Not all 66: constructors that eagerly run sub-jobs -- CC label
 #: collection, occupancy stats -- are covered by their own operator tests;
 #: this list spans every JOIN SHAPE the engine emits: band self-join,
 #: verify feature join, inverted-index posting join, simhash block join,
