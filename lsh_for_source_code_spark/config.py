@@ -178,6 +178,25 @@ class PipelineConfig:
     # shrink 4x at 32/128 while the wider margin only admits more pairs
     # into exact verification (never loses any).
 
+    verify_broadcast_max_rows: int = 4_000_000
+    verify_broadcast_max_bytes: int = 512 * 1024 * 1024
+    # Size-adaptive b-side broadcast for the verify feature join (r6, guide
+    # §8 "broadcast the plan"): the expensive exchange in S6 is the join-1
+    # output -- every candidate pair already carrying its sh_a array --
+    # being re-shuffled by id_b (~|pairs| x avg-array bytes; ~32 GB at the
+    # 200k bench). When the FEATURE table (one row per distinct content,
+    # NOT per pair) fits under both bounds, the b-side join broadcasts and
+    # that wide intermediate never crosses an exchange. Decision cost is
+    # one count() (parquet-metadata / cached) and, only under the row
+    # bound, one size aggregate over the small table
+    # (verify.feature_table_fits_broadcast). Measured at 200k/local[32]:
+    # identical verified output (checksum), S6 37.3s -> ~22s. Defaults are
+    # deliberately conservative (a 512 MB relation on an 8 GB driver);
+    # production corpora blow past the row bound immediately, pay only the
+    # metadata count, and keep the r1-proven SHUFFLE_HASH path (plus
+    # checkpoint_buckets, which removes the feature exchanges entirely on
+    # clusters). <= 0 disables.
+
     # --- execution ---
     checkpoint_buckets: int | None = None
     # OPT-IN bucketed checkpoint for the shingled-features stage (the

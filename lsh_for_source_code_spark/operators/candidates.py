@@ -19,7 +19,10 @@ Strategy here:
   15% of cross-boilerplate truth pairs at 20k). Exact dups are already out of
   band via the content_sha short-circuit.
 * bucket occupancy (reference O14, Main.java:117-119) doubles as the skew
-  monitor.
+  monitor. Occupancy aggregations are single-level groupBys: hash
+  aggregation's map-side combine already caps any hot key's reducer input
+  at #map-partitions partial rows (r6; the former explicit salt level was
+  a redundant extra exchange).
 
 All aggregations here (count/min) have map-side partial aggregation, so even
 the hot key costs one reducer O(k) -- never O(k^2).
@@ -33,6 +36,32 @@ from lsh_for_source_code_spark.caching import track
 from lsh_for_source_code_spark.config import PipelineConfig
 
 BAND_KEY = ["band_id", "band_hash"]
+
+
+def _pair_expand(groups: DataFrame, members_col: str = "ms") -> DataFrame:
+    """(.., ms: array<long>) -> exploded (id_a, id_b) with id_a < id_b,
+    entirely via JVM higher-order functions (r6).
+
+    Replaces the bucket all-pairs SELF-JOINS: the member lists are BOUNDED
+    (<= max_bucket_pairs for buckets, <= mega_chunk_target for chunks, by
+    the filters that feed them), so collect_list is safe, and because each
+    feeding aggregation groups by a superset of the upstream join/exchange
+    key, the groupBy rides the existing hash partitioning -- no new
+    Exchange, no second hash-table build+probe over the full row stream.
+    Measured at 200k/local[32] (scripts/r06_exp_cands3.py, identical
+    output by checksum): S5 24.4-45.3s -> 19.4-21.3s."""
+    pairs = F.flatten(
+        F.transform(
+            members_col,
+            lambda x: F.transform(
+                F.filter(members_col, lambda y: y > x),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return groups.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
+    )
 
 
 def bucket_stats(bands: DataFrame) -> DataFrame:
@@ -61,31 +90,25 @@ def candidate_pairs(
     refinement of mega buckets (cfg.mega_refine_levels) before the chunked
     fallback -- see _refine_mega below.
 
-    Bucket size + anchor come from a SALTED two-level aggregation
-    (north_rule: salted repartitioning for mega-band skew): level 1 groups
-    by (band_key, salt = hash(file_id) mod salt_partitions), so a mega
-    bucket's rows spread over `salt_partitions` reducers instead of one;
-    level 2 merges the per-salt partials (tiny). Both levels get map-side
-    partial aggregation, so even a 10^8-member boilerplate band costs
-    O(k / salt_partitions) per reducer, never O(k^2).
+    Bucket size + anchor come from ONE groupBy with map-side partial
+    aggregation (r6: the explicit salted two-level variant was measured
+    and removed -- hash aggregation already partial-aggregates per map
+    partition, so a 10^8-member boilerplate band reaches its reducer as
+    <= #map-partitions partial rows, never 10^8; the salt level only added
+    a second full exchange of the ~O(corpus x bands) stats stream. A/B at
+    200k/local[32]: salted 2.3-3.8s vs direct 1.0-2.0s per stats pass,
+    identical output, end-to-end S5 37.8s -> 33.0s with all three salted
+    aggregations removed -- scripts/r06_exp_cands2.py).
 
     The stats join back onto bands routes the hot key to one reducer but is
     linear and AQE skew-split eligible. The tagged table is persisted
-    because three consumers read it (both sides of the small-bucket
-    self-join + the mega/star path) -- without the cache Catalyst
-    re-evaluates the whole upstream per consumer.
+    because two consumers read it (the small-bucket pair expansion + the
+    mega/star path) -- without the cache Catalyst re-evaluates the whole
+    upstream per consumer.
 
     The final groupBy both deduplicates pairs discovered in multiple bands
     and records how many bands agreed (a cheap confidence signal)."""
-    salted = bands.withColumn(
-        "_salt", F.pmod(F.xxhash64("file_id"), F.lit(cfg.salt_partitions))
-    )
-    sub = salted.groupBy(*BAND_KEY, "_salt").agg(
-        F.count("*").alias("_c"), F.min("file_id").alias("_m")
-    )
-    stats = sub.groupBy(*BAND_KEY).agg(
-        F.sum("_c").alias("sz"), F.min("_m").alias("anchor")
-    )
+    stats = bucket_stats(bands)
     # SHUFFLE_HASH pinned on both bucket-key joins: these sides are LARGE
     # intermediates (O(corpus) rows) -- letting Catalyst broadcast them is a
     # driver-serial collect+build (the r1 scaling floor), and sort-merge
@@ -96,14 +119,12 @@ def candidate_pairs(
     small = tagged.filter(
         (F.col("sz") >= 2) & (F.col("sz") <= cfg.max_bucket_pairs)
     ).select(*BAND_KEY, "file_id")
-    left = small.alias("l")
-    right = small.alias("r").hint("shuffle_hash")
-    pairs_small = left.join(
-        right,
-        on=[F.col(f"l.{k}") == F.col(f"r.{k}") for k in BAND_KEY]
-        + [F.col("l.file_id") < F.col("r.file_id")],
-    ).select(
-        F.col("l.file_id").alias("id_a"), F.col("r.file_id").alias("id_b")
+    # bounded all-pairs via collect_list + HOF expansion (r6, _pair_expand):
+    # `tagged` is already hash-partitioned on BAND_KEY (output of the stats
+    # join), so this groupBy adds NO exchange, where the former self-join
+    # paid a hash build+probe over the full small-bucket row stream.
+    pairs_small = _pair_expand(
+        small.groupBy(*BAND_KEY).agg(F.collect_list("file_id").alias("ms"))
     )
 
     # Mega buckets: random chunked topology (bounded, linear in bucket size).
@@ -165,7 +186,7 @@ def _refine_mega(
 
     Each level extends the bucket key with one more MinHash perm (the rows
     following this band's own, mod num_perm) and re-measures occupancy with
-    the same salted two-level aggregation. Sub-buckets that fall to
+    the same single-level partial-aggregated occupancy pass. Sub-buckets that fall to
     2..max_bucket_pairs members emit exact all-pairs immediately; buckets
     still mega continue to the next level. The split is self-selecting:
     members agreeing only by accident (a globally common token's min) have
@@ -188,8 +209,8 @@ def _refine_mega(
     # ONE-PASS over all levels (a per-level loop of stats+join+self-join was
     # measured ~40s slower at 200k): the cumulative keys k_1..k_L are pure
     # expressions over the signature array, so one join attaches them all,
-    # posexplode yields (level, key) rows, and a single salted stats pass +
-    # a single bounded self-join handle every level together.
+    # posexplode yields (level, key) rows, and a single stats pass +
+    # a single bounded HOF pair expansion handle every level together.
     keys = []
     k = F.col("_key")
     for l in range(levels):
@@ -220,17 +241,15 @@ def _refine_mega(
 
         work = track(work.persist(StorageLevel.MEMORY_AND_DISK))
     # "off": no persist -- consumers recompute the codegen key expressions
-    sub = work.withColumn(
-        "_salt", F.pmod(F.xxhash64("file_id"), F.lit(cfg.salt_partitions))
-    ).groupBy("_lvl", "band_id", "_k", "_salt").agg(
-        F.count("*").alias("_c"), F.min("file_id").alias("_m")
-    )
     # st is consumed by two branches (emit keys + residual keys): persist the
-    # COMPACT stats table -- not the full exploded work join -- so the salted
-    # aggregation runs once
+    # COMPACT stats table -- not the full exploded work join -- so the
+    # occupancy aggregation runs once. Single-level groupBy (r6): map-side
+    # partial aggregation already bounds any hot key's reducer input at
+    # #map-partitions rows; the former explicit salt level cost one extra
+    # full exchange of the exploded stream for no skew benefit.
     st = track(
-        sub.groupBy("_lvl", "band_id", "_k")
-        .agg(F.sum("_c").alias("sz"), F.min("_m").alias("anchor"))
+        work.groupBy("_lvl", "band_id", "_k")
+        .agg(F.count("*").alias("sz"), F.min("file_id").alias("anchor"))
         .persist()
     )
     # Emission policy: sub-buckets <= C emit exact all-pairs at EVERY level
@@ -244,8 +263,10 @@ def _refine_mega(
     # cost 21.4M deduped candidates and 113s of verify.
     # Rather than tagging EVERY work row with its bucket stats (a full-width
     # join of the exploded table, the r3 S5 scaling floor), work joins only
-    # the emitting keys -- and because the emit join, the pair self-join and
-    # the residual join all hash on the same key, the exchanges are reused.
+    # the emitting keys -- and because the emit join and the residual join
+    # hash on the same key, the exchanges are reused. The all-pairs emission
+    # itself is collect_list + HOF expansion riding the emit join's KEY
+    # partitioning (r6, _pair_expand; member lists bounded by `cap`).
     KEY = ["_lvl", "band_id", "_k"]
     emit_keys = st.filter(
         (F.col("sz") >= 2)
@@ -257,13 +278,8 @@ def _refine_mega(
     emit = work.join(emit_keys.hint("shuffle_hash"), on=KEY).select(
         *KEY, "file_id"
     )
-    el, er = emit.alias("l"), emit.alias("r").hint("shuffle_hash")
-    exact = el.join(
-        er,
-        on=[F.col(f"l.{k}") == F.col(f"r.{k}") for k in KEY]
-        + [F.col("l.file_id") < F.col("r.file_id")],
-    ).select(
-        F.col("l.file_id").alias("id_a"), F.col("r.file_id").alias("id_b")
+    exact = _pair_expand(
+        emit.groupBy(*KEY).agg(F.collect_list("file_id").alias("ms"))
     )
     res_keys = st.filter(
         (F.col("_lvl") == levels - 1) & (F.col("sz") > cap)
@@ -289,25 +305,25 @@ def _chunked_mega_pairs(mega: DataFrame, cfg: PipelineConfig) -> DataFrame:
         "_chunk", F.pmod(F.xxhash64("band_id", "_key", "file_id"), n_chunks)
     ).select("band_id", "_key", "_chunk", "file_id", "anchor")
     if chunk_target > 1:
-        cl = mega_c.alias("l")
-        cr = mega_c.alias("r").hint("shuffle_hash")
-        chunk_pairs = cl.join(
-            cr,
-            on=[
-                F.col("l.band_id") == F.col("r.band_id"),
-                F.col("l._key") == F.col("r._key"),
-                F.col("l._chunk") == F.col("r._chunk"),
-                F.col("l.file_id") < F.col("r.file_id"),
-            ],
-        ).select(
-            F.col("l.file_id").alias("id_a"), F.col("r.file_id").alias("id_b")
-        )
-        anchor_edges = (
+        # ONE aggregation yields both the bounded member lists (chunk
+        # all-pairs via _pair_expand, lists <= chunk_target by the chunk
+        # key) and the chunk-min/anchor columns for the connectivity edges;
+        # persisted because both consumers read it, and the former shape
+        # (self-join + separate min aggregation) recomputed the residual's
+        # filter+join chain three times (r6: ~4s of pure recompute at 200k).
+        chunk_groups = track(
             mega_c.groupBy("band_id", "_key", "_chunk")
-            .agg(F.min("file_id").alias("_cmin"), F.min("anchor").alias("_anchor"))
-            .filter(F.col("_cmin") != F.col("_anchor"))
-            .select(F.col("_anchor").alias("id_a"), F.col("_cmin").alias("id_b"))
+            .agg(
+                F.collect_list("file_id").alias("ms"),
+                F.min("file_id").alias("_cmin"),
+                F.min("anchor").alias("_anchor"),
+            )
+            .persist()
         )
+        chunk_pairs = _pair_expand(chunk_groups)
+        anchor_edges = chunk_groups.filter(
+            F.col("_cmin") != F.col("_anchor")
+        ).select(F.col("_anchor").alias("id_a"), F.col("_cmin").alias("id_b"))
         return chunk_pairs.unionByName(anchor_edges)
     return mega.filter(F.col("file_id") != F.col("anchor")).select(
         F.col("anchor").alias("id_a"), F.col("file_id").alias("id_b")
@@ -379,14 +395,10 @@ def simhash_candidate_pairs(
             )
         ).alias("block_id", "block_val"),
     )
-    salted = blocks.withColumn(
-        "_salt", F.pmod(F.xxhash64("file_id"), F.lit(cfg.salt_partitions))
-    )
-    sub = salted.groupBy(*BLOCK_KEY, "_salt").agg(
-        F.count("*").alias("_c"), F.min("file_id").alias("_m")
-    )
-    stats = sub.groupBy(*BLOCK_KEY).agg(
-        F.sum("_c").alias("sz"), F.min("_m").alias("anchor")
+    # single-level occupancy stats (r6): partial aggregation bounds hot
+    # blocks at #map-partitions reducer rows; see candidate_pairs.
+    stats = blocks.groupBy(*BLOCK_KEY).agg(
+        F.count("*").alias("sz"), F.min("file_id").alias("anchor")
     )
     tagged = track(blocks.join(stats.hint("shuffle_hash"), on=BLOCK_KEY).persist())
 
@@ -495,7 +507,7 @@ def simhash_candidate_pairs_tables(
     degenerate into the mega-chunk lottery past ~2^16 * max_block docs
     (demonstrated at test scale in test_operators.py).
 
-    Topology per key is identical to the legacy path: salted two-level
+    Topology per key is identical to the legacy path: partial-aggregated
     occupancy stats, exact all-pairs under simhash_max_block, random
     ~C-sized chunks + chunk-min -> anchor edges above it. Output contract
     unchanged: (id_a, id_b, hamming) with hamming <= cfg.simhash_hamming_max.
@@ -530,14 +542,10 @@ def simhash_candidate_pairs_tables(
         "fp",
         F.posexplode(F.array(*keys)).alias("table_id", "key"),
     )
-    salted = rows.withColumn(
-        "_salt", F.pmod(F.xxhash64("file_id"), F.lit(cfg.salt_partitions))
-    )
-    sub = salted.groupBy(*KEY, "_salt").agg(
-        F.count("*").alias("_c"), F.min("file_id").alias("_m")
-    )
-    stats = sub.groupBy(*KEY).agg(
-        F.sum("_c").alias("sz"), F.min("_m").alias("anchor")
+    # single-level occupancy stats (r6): partial aggregation bounds hot
+    # keys at #map-partitions reducer rows; see candidate_pairs.
+    stats = rows.groupBy(*KEY).agg(
+        F.count("*").alias("sz"), F.min("file_id").alias("anchor")
     )
     tagged = track(rows.join(stats.hint("shuffle_hash"), on=KEY).persist())
 

@@ -501,22 +501,66 @@ def make_lcs_containment_udf(
 lcs_containment_udf = make_lcs_containment_udf(None)
 
 
+def feature_table_fits_broadcast(
+    shingled: DataFrame, cfg: PipelineConfig, with_counts: bool = True
+) -> bool:
+    """Size-adaptive broadcast decision for the verify feature join (r6,
+    guide-§8 'broadcast the plan'): True iff the feature table is small
+    enough to ship to every executor instead of re-shuffling the wide
+    pair+array intermediate.
+
+    Two-step probe so the decision itself stays O(metadata) at scale:
+    (1) count(*) -- parquet-count pushdown on checkpointed stages, cached
+    count on persisted ones; over the row bound the answer is 'no' with no
+    further work. (2) only under the row bound (a small table by
+    definition), one aggregate over array sizes estimates the broadcast
+    payload. Both knobs ship in PipelineConfig; <= 0 disables."""
+    max_rows = int(cfg.verify_broadcast_max_rows)
+    if max_rows <= 0:
+        return False
+    n = shingled.count()
+    if n > max_rows:
+        return False
+    row = shingled.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("shingles")), F.lit(0)).alias("tot"),
+    ).first()
+    # UnsafeRow-ish estimate: ~32 B/row fixed + 8 B per shingle (+4 B count
+    # + 8 B n_tokens per row when the overlap channel ships counts).
+    est = row.n * 32 + row.tot * 8
+    if with_counts:
+        est += row.tot * 4 + row.n * 8
+    return est <= int(cfg.verify_broadcast_max_bytes)
+
+
 def join_pair_features(
     candidates: DataFrame,
     shingled: DataFrame,
     id_col: str = "file_id",
     with_counts: bool = True,
+    broadcast_b: bool = False,
 ) -> DataFrame:
     """Attach both sides' shingle arrays to candidate pairs. Column-pruned:
     only (id, shingles[, counts, n_tokens, max_count]) moves, never content.
     `with_counts=False` (jaccard-only verification) halves the join payload.
 
-    Join strategy: SHUFFLE_HASH pinned on the feature side. Sort-merge would
-    sort the wide shingle-array rows (memory-bandwidth-bound; measured r1),
-    and broadcast would collect the whole feature table to the driver -- a
-    serial floor that killed N->4N scaling in r1. Per-partition hash builds
-    of the feature side are parallel, and AQE still skew-splits the
-    pair-side partitions."""
+    Join strategy: SHUFFLE_HASH pinned on the a-side feature join.
+    Sort-merge would sort the wide shingle-array rows (memory-bandwidth-
+    bound; measured r1), and an unconditional broadcast would collect the
+    whole feature table to the driver -- a serial floor that killed N->4N
+    scaling in r1. Per-partition hash builds of the feature side are
+    parallel, and AQE still skew-splits the pair-side partitions.
+
+    `broadcast_b=True` (r6, size-gated by feature_table_fits_broadcast):
+    the SECOND feature join broadcasts instead. The expensive exchange in
+    this stage is not the feature table (O(corpus) array bytes) but the
+    JOIN 1 OUTPUT -- every pair row already carrying sh_a -- which the
+    second SHUFFLE_HASH join re-shuffles by id_b (~|pairs| x avg-array
+    bytes, 17.4M x ~1.9 KB ~= 32 GB at the 200k bench). Broadcasting the
+    b-side makes join 2 a map-side lookup, so the wide intermediate never
+    crosses an exchange. Measured at 200k/local[32] (scripts/
+    r06_exp_verify.py, identical 499,797-pair output by checksum): warm
+    ~25s -> ~22s, cold 87s -> 20s; pipeline S6 stage 37.3s -> ~22s."""
     cols = [F.col(id_col).alias("fid"), F.col("shingles")]
     if with_counts:
         cols += [F.col("counts"), F.col("n_tokens")]
@@ -531,8 +575,13 @@ def join_pair_features(
             ]
         return feat.select(*sel)
 
+    b = (
+        F.broadcast(side("b", "id_b"))
+        if broadcast_b
+        else side("b", "id_b").hint("shuffle_hash")
+    )
     return candidates.join(side("a", "id_a").hint("shuffle_hash"), "id_a").join(
-        side("b", "id_b").hint("shuffle_hash"), "id_b"
+        b, "id_b"
     )
 
 
@@ -686,7 +735,13 @@ def verify_pairs(
         keep_all or cfg.overlap_threshold is not None
     )
     joined = join_pair_features(
-        candidates, shingled, id_col, with_counts=compute_overlap
+        candidates,
+        shingled,
+        id_col,
+        with_counts=compute_overlap,
+        broadcast_b=feature_table_fits_broadcast(
+            shingled, cfg, with_counts=compute_overlap
+        ),
     )
     sz_a, sz_b = F.size("sh_a").cast("double"), F.size("sh_b").cast("double")
     jac_bound = F.least(sz_a, sz_b) / F.greatest(F.greatest(sz_a, sz_b), F.lit(1.0))

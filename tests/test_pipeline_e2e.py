@@ -517,11 +517,17 @@ def test_bucketed_checkpoint_equivalence_and_plan(spark, tmp_path):
     clus_b = {(r.file_id, r.cluster_id) for r in out_b["clusters"].collect()}
     assert clus_p == clus_b
 
-    # plan shape: rebuild the verify join against each stored shingle stage
+    # plan shape: rebuild the verify join against each stored shingle stage.
+    # The r6 size-adaptive b-side broadcast would also elide an exchange at
+    # this corpus size -- pin it OFF so the assertion isolates the BUCKET
+    # mechanism (its own gate is covered by test_plan_audit).
+    import dataclasses
+
+    nobc_cfg = dataclasses.replace(buck_cfg, verify_broadcast_max_rows=0)
     cands = out_b["candidate_pairs"].select("id_a", "id_b", "n_shared_bands")
     plain_sh = spark.read.parquet(str(tmp_path / "b" / "files_shingled"))
     for src, want_bucketed in ((plain_sh, False), (out_b["files_shingled"], True)):
-        v = verify_pairs(cands, plain_sh if not want_bucketed else src, buck_cfg)
+        v = verify_pairs(cands, plain_sh if not want_bucketed else src, nobc_cfg)
         v.count()
         plan = v._jdf.queryExecution().executedPlan().toString()
         n_ex = plan.count("Exchange hashpartitioning")

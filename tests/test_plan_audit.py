@@ -193,16 +193,51 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_join_strategy_discipline(spark):
-    """True dimension joins broadcast; the LSH band self-join and verify
-    feature join must NOT (a broadcast there is a driver-serial collect of
-    the big side -- the measured r1 scaling floor, BENCH_NOTES #4) and are
-    pinned to shuffled-hash (no sort of wide array rows)."""
+    """True dimension joins broadcast; the LSH band self-join and the
+    a-side verify feature join are pinned to shuffled-hash (no sort of
+    wide array rows; an unconditional broadcast of a corpus-sized side is
+    a driver-serial collect -- the measured r1 scaling floor, BENCH_NOTES
+    #4). r6: the B-SIDE verify feature join broadcasts when the feature
+    table fits cfg.verify_broadcast_max_rows/_bytes (guide-§8: the wide
+    pair+sh_a intermediate then never crosses an exchange); at sf0.001
+    the bound is met, so exactly that one BroadcastHashJoin is expected."""
     p = _plan(spark, QUERIES["broadcast_dim_join"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p
     p = _plan(spark, QUERIES["near_dup_pairs"](spark, SF_DIR))
-    assert "ShuffledHashJoin" in p
-    assert "BroadcastHashJoin" not in p
+    assert "ShuffledHashJoin" in p  # band self-join + a-side feature join
+    assert "BroadcastHashJoin" in p  # size-gated b-side feature join
     assert "SortMergeJoin" not in p
+
+
+def test_verify_broadcast_gate_disables(spark):
+    """With the broadcast bounds disabled (<= 0), the verify feature join
+    must fall back to the two pinned SHUFFLE_HASH joins -- the production
+    shape for corpora whose feature table cannot ship to every executor."""
+    from pyspark.sql import functions as F
+
+    from lsh_for_source_code_spark.config import PipelineConfig
+    from lsh_for_source_code_spark.entry_queries import (
+        FLAGSHIP_CFG,
+        _docs_as_files,
+        lsh_verified_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    cfg = PipelineConfig(
+        **{
+            **{
+                f.name: getattr(FLAGSHIP_CFG, f.name)
+                for f in FLAGSHIP_CFG.__dataclass_fields__.values()
+                if f.name != "extra"
+            },
+            "verify_broadcast_max_rows": 0,
+        }
+    )
+    p = _plan(spark, lsh_verified_pairs(docs, cfg, 0.9))
+    assert "BroadcastHashJoin" not in p
+    assert "ShuffledHashJoin" in p
 
 
 def test_partial_aggregation_before_exchange(spark):
