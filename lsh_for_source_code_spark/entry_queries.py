@@ -1821,6 +1821,11 @@ def q_duplicate_spans(spark, sf_dir):
     W = 12
     docs = _read(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    # r6 note: persisting base/perdoc was A/B'd and REJECTED (same-process,
+    # sf0.1/local[32]: warm 4.43s -> 5.56s; only the cold first run
+    # improved). The window-hash subtrees here carry no consumer-specific
+    # filters, so runtime exchange reuse already shares the heavy work and
+    # the cache writes of the wide whs arrays only add wall.
     base = toks.select(
         "doc_id",
         F.greatest(F.size("toks") - (W - 1), F.lit(0)).alias("n_windows"),
@@ -1993,25 +1998,32 @@ def q_semdedup(spark, sf_dir):
     rounded to 6dp before the threshold/tie logic so a last-ulp summation
     difference can never flip a keep decision between engines."""
     # one-split local parquet + interpreted cosine HOFs: spread the scan
-    # (keyed repartition; at cluster scale the scan has natural splits)
-    emb = (
+    # (keyed repartition; at cluster scale the scan has natural splits).
+    # r6: persist both fan-out tables -- emb feeds (centroid sample,
+    # assignment) and assign feeds (self-join both sides, final join);
+    # without the caches each consumer recomputes the scan+cast chain and
+    # the broadcast-argmax assignment (12 distinct scans in
+    # plans/r06/semdedup_before.txt).
+    emb = track(
         _read(spark, sf_dir, "embeddings")
         .select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
     )
     cents = emb.filter(F.col("vec_id") % 31 == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell_id"))
-    assign = (
+    assign = track(
         emb.crossJoin(F.broadcast(cents))
         .withColumn("s", F.round(_cosine(F.col("v"), F.col("cv")), 6))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell_id", "v")
+        .persist()
     )
     other = assign.select(
         F.col("cell_id"),
@@ -2117,17 +2129,20 @@ def q_kmeans_cells(spark, sf_dir):
     DuckDB oracle (same convention as the ANN sketches)."""
     # Local small-parquet reads arrive as ONE input split; the interpreted
     # HOF fold below is CPU-bound, so spread it across the session's cores
-    # (keyed repartition for determinism). The exchange is identical in
-    # every iteration's subtree, so Spark's ReusedExchange computes the
-    # cast ONCE. At cluster scale the scan has natural splits and this
-    # tiny-table exchange is noise.
-    emb = (
+    # (keyed repartition for determinism). r6: persist the cast table --
+    # the unrolled 3-iteration plan references it in every assignment and
+    # centroid subtree (8 distinct scans in plans/r06/kmeans_cells_
+    # before.txt; the r5 ReusedExchange assumption does not survive
+    # consumer-specific pruning). At cluster scale the scan has natural
+    # splits and this tiny-table cache is noise.
+    emb = track(
         _read(spark, sf_dir, "embeddings")
         .select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
     )
     cents = emb.filter(F.col("vec_id") % 31 == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
@@ -2247,19 +2262,22 @@ def q_bloom_novelty(spark, sf_dir):
     nonzero FP rate at every scale instead of saturating past a fixed
     design point. Hash windows use the repo's standard sha256-hex <->
     conv/UBIGINT bridge, bit-identical across Spark and DuckDB."""
-    # Two deliberate exchanges around the (interpreted, CPU-bound) trigram
-    # HOF: the PRE-exchange spreads the one-split local parquet scan over
-    # the session's cores (at cluster scale the scan has natural splits
-    # and this is a no-op-sized shuffle); the POST-exchange subtree is
-    # identical in all four consumers below, so ReusedExchange computes
-    # the gram arrays ONCE instead of four times. Measured 22.2s -> ~2s at
-    # sf0.1/local[32].
+    # The (interpreted, CPU-bound) trigram HOF fans out to four consumers
+    # (vocabulary build, delta probes, m aggregate, exact join). r5 relied
+    # on a post-HOF exchange being reused across them, but the optimizer
+    # pushes each consumer's doc_id%5 split filter BELOW that exchange,
+    # breaking subtree identity -- the before-plan shows SIX distinct
+    # parquet scans and zero ReusedExchange (plans/r06/bloom_novelty_
+    # before.txt). r6: persist the tokenized table instead (one trigram
+    # pass, cache-lifetime = this query via caching.track; the keyed
+    # pre-repartition still spreads the one-split local scan). Measured at
+    # sf0.1/local[32]: 10.1-15.5s -> 3.3-4.9s, identical 1000-row output.
     dp = spark.sparkContext.defaultParallelism
-    docs = (
+    docs = track(
         _read(spark, sf_dir, "documents")
         .repartition(dp, "doc_id")
         .select("doc_id", _trigram_strings(F.col("text")).alias("toks"))
-        .repartition(dp, "doc_id")
+        .persist()
     )
     base_vocab = (
         docs.filter(F.col("doc_id") % 5 != 0)
@@ -2429,6 +2447,12 @@ def q_hll_distinct(spark, sf_dir):
         .repartition(dp, "doc_id")
         .select("lang", F.explode(_trigram_strings(F.col("text"))).alias("tok"))
     )
+    # r6 note: a persist of this count table was A/B'd and REJECTED
+    # (same-process, sf0.1/local[32]: warm 2.25s -> 3.1-3.4s) -- with no
+    # consumer-specific filters here, runtime exchange reuse already
+    # computes the gram aggregation once, and the cache materialization
+    # is pure overhead. Contrast bloom_novelty, where the %5 split
+    # filters break subtree identity and the persist wins 3x.
     gram_counts = docs.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
     h = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10).cast(
         "long"
@@ -2528,6 +2552,9 @@ def q_cms_heavy_hitters(spark, sf_dir):
         .repartition(dp, "doc_id")
         .select(F.explode(_trigram_strings(F.col("text"))).alias("tok"))
     )
+    # r6 note: a persist of this count table was A/B'd and REJECTED (see
+    # hll_distinct -- no consumer-specific filters, so runtime exchange
+    # reuse already shares the aggregation; the cache write only adds wall).
     gram_counts = docs.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
     sha = F.sha2(F.col("tok"), 256)
     buckets = F.array(
@@ -2587,16 +2614,18 @@ def q_lm_quality(spark, sf_dir):
         F.slice(toks, 2, n1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    # keyed pre/post-repartition around the interpreted zip_with HOF: the
-    # post-exchange subtree (token + bigram arrays) is identical in all
-    # four consumers (bigram counts, scoring join, unigram counts, V) so
-    # ReusedExchange computes the arrays once (bloom_novelty pattern).
+    # r6: persist the tokenized table -- its four consumers (bigram
+    # counts, scoring join, unigram counts, V) otherwise each recompute
+    # the interpreted token/bigram HOFs from the scan (the r5
+    # ReusedExchange assumption does not survive consumer-specific
+    # pruning; 8 distinct scans in plans/r06/lm_quality_before.txt). The
+    # keyed pre-repartition still spreads the one-split local scan.
     dp = spark.sparkContext.defaultParallelism
-    base = (
+    base = track(
         _read(spark, sf_dir, "documents")
         .repartition(dp, "doc_id")
         .select("doc_id", toks.alias("toks"), bigrams.alias("bgs"))
-        .repartition(dp, "doc_id")
+        .persist()
     )
     ex = base.select("doc_id", F.explode("bgs").alias("bg")).select(
         "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
