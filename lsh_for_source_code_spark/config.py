@@ -197,6 +197,28 @@ class PipelineConfig:
     # checkpoint_buckets, which removes the feature exchanges entirely on
     # clusters). <= 0 disables.
 
+    verify_sound_prefix_t: int | None = 16
+    # SOUND positional prefix filter before the exact per-pair intersect
+    # (r6; PPJoin t-occurrence lemma, Xiao et al. WWW'08): with both
+    # shingle arrays sorted by the same global order (they are -- the
+    # shingle UDF emits sorted-distinct hashes), jaccard(A,B) >= theta
+    # implies |A n B| >= alpha = theta/(1+theta)*(|A|+|B|), and then the
+    # (|A|-alpha+t)-prefixes of A and B must share >= t elements. Pairs
+    # failing that prefix check have jaccard < theta with CERTAINTY, so --
+    # unlike verify_pregate_margin / verify_prefix_gate_k above -- this
+    # filter is exact: verified output is byte-identical (checksum-asserted
+    # A/B + property test). Cost: an array_intersect over ~((1-theta)/
+    # (1+theta))*n + t element prefixes on every pair buys skipping the
+    # full-array intersect on rejected pairs, so it only pays when theta is
+    # high: at theta=0.9 the sound prefix is ~0.053n+t (~20 of avg-70
+    # elements, rejects everything below j~0.68); at theta=0.5 it is
+    # already n/3+t and the measured junk (72% of the 17.2M bench
+    # candidates at j in [0.10,0.30), scripts/r06_exp_prefix.py dist)
+    # sits too close to the certificate boundary to win (A/B: ~1.0x).
+    # Hence the operator applies it only when jaccard_threshold >= 0.7
+    # (prefix <= 0.18n); the pipeline's theta=0.5 path is unaffected.
+    # None / <= 0 disables.
+
     # --- execution ---
     checkpoint_buckets: int | None = None
     # OPT-IN bucketed checkpoint for the shingled-features stage (the

@@ -685,6 +685,48 @@ def prefix_gate_candidates(
     )
 
 
+def sound_prefix_pred(theta: float, t: int):
+    """SOUND necessary condition for jaccard(sh_a, sh_b) >= theta
+    (cfg.verify_sound_prefix_t; PPJoin t-occurrence lemma, Xiao et al.
+    WWW'08). Requires both arrays sorted by the same global total order --
+    the shingle UDF's sorted-distinct output contract.
+
+    jaccard >= theta  <=>  |A n B| >= alpha = theta/(1+theta)*(|A|+|B|),
+    and if |A n B| >= alpha then the t-th smallest shared element has rank
+    <= |A| - alpha + t in A (at least alpha - t shared elements are larger),
+    likewise in B -- so the (|A|-alpha+t)- and (|B|-alpha+t)-prefixes share
+    >= t elements. A pair failing this check therefore has jaccard < theta
+    with certainty; the filter never changes the verified output (checksum
+    A/B + tests/test_verify_prefix.py property test).
+
+    All ops are native array expressions (slice + array_intersect): the
+    measured per-pair budget is ~1us, which rules out interpreted HOF
+    forms. alpha is ceil'd with 1e-9 slack so a pair sitting exactly AT
+    theta is never lost to FP; t_eff = min(t, alpha) keeps the lemma's
+    t <= alpha precondition (degenerate tiny arrays fall back to the exact
+    |A n B| >= alpha check on the full arrays); prefix lengths are clamped
+    at 0 (slice of length 0 = empty, correctly rejecting pairs where even
+    |A| < alpha -- those cannot reach theta)."""
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    alpha = F.ceil(
+        F.lit(theta / (1.0 + theta)) * (na + nb).cast("double") - F.lit(1e-9)
+    ).cast("int")
+    t_eff = F.least(F.lit(int(t)), alpha)
+    pa = F.greatest(na - alpha + t_eff, F.lit(0)).cast("int")
+    pb = F.greatest(nb - alpha + t_eff, F.lit(0)).cast("int")
+    shared = F.size(
+        F.array_intersect(F.slice("sh_a", 1, pa), F.slice("sh_b", 1, pb))
+    )
+    return shared >= t_eff
+
+
+#: sound_prefix_pred pays only while the prefix stays a small fraction of
+#: the array: (1-theta)/(1+theta) <= 0.18 at theta >= 0.7. Below that the
+#: certificate is too long to win (measured at theta=0.5: 72% of bench junk
+#: at j in [0.10,0.30) vs a n/3+t prefix -- A/B ~1.0x, see config).
+SOUND_PREFIX_MIN_THETA = 0.7
+
+
 def verify_pairs(
     candidates: DataFrame,
     shingled: DataFrame,
@@ -785,6 +827,11 @@ def verify_pairs(
     else:
         if not keep_all:
             joined = joined.filter(jac_bound >= F.lit(cfg.jaccard_threshold) - eps)
+            t = getattr(cfg, "verify_sound_prefix_t", None)
+            if t and t > 0 and cfg.jaccard_threshold >= SOUND_PREFIX_MIN_THETA:
+                joined = joined.filter(
+                    sound_prefix_pred(cfg.jaccard_threshold, int(t))
+                )
         if jaccard_impl == "jvm":
             out = jvm_jaccard(joined)
         else:
