@@ -209,14 +209,17 @@ class PipelineConfig:
     # filter is exact: verified output is byte-identical (checksum-asserted
     # A/B + property test). Cost: an array_intersect over ~((1-theta)/
     # (1+theta))*n + t element prefixes on every pair buys skipping the
-    # full-array intersect on rejected pairs, so it only pays when theta is
-    # high: at theta=0.9 the sound prefix is ~0.053n+t (~20 of avg-70
-    # elements, rejects everything below j~0.68); at theta=0.5 it is
-    # already n/3+t and the measured junk (72% of the 17.2M bench
-    # candidates at j in [0.10,0.30), scripts/r06_exp_prefix.py dist)
-    # sits too close to the certificate boundary to win (A/B: ~1.0x).
-    # Hence the operator applies it only when jaccard_threshold >= 0.7
-    # (prefix <= 0.18n); the pipeline's theta=0.5 path is unaffected.
+    # full-array intersect (and all downstream row machinery) on rejected
+    # pairs. Measured at 200k/local[32], t=16, identical outputs
+    # (scripts/r06_exp_prefix.py): theta=0.9 flagship query 5.6s -> 4.2s
+    # (prefix ~0.053n+t rejects everything below j~0.68); theta=0.5
+    # pipeline verify warm 24.7-28.0s -> 15.2-22.5s -- the junk
+    # distribution (72% of the 17.2M candidates at j in [0.10,0.30),
+    # `r06_exp_prefix.py dist`) sits far enough below the n/3+t
+    # certificate, and rejected pairs skip the full hash-set build, so the
+    # filter beats the naive (p/n)-cost model even at theta=0.5. The
+    # operator applies it for jaccard_threshold >= 0.5 (below that the
+    # sound prefix exceeds half the array; no declared query goes there).
     # None / <= 0 disables.
 
     # --- execution ---

@@ -720,11 +720,15 @@ def sound_prefix_pred(theta: float, t: int):
     return shared >= t_eff
 
 
-#: sound_prefix_pred pays only while the prefix stays a small fraction of
-#: the array: (1-theta)/(1+theta) <= 0.18 at theta >= 0.7. Below that the
-#: certificate is too long to win (measured at theta=0.5: 72% of bench junk
-#: at j in [0.10,0.30) vs a n/3+t prefix -- A/B ~1.0x, see config).
-SOUND_PREFIX_MIN_THETA = 0.7
+#: sound_prefix_pred pays while the prefix ((1-theta)/(1+theta))*n + t is a
+#: modest fraction of the array. Measured at the 200k bench corpus
+#: (scripts/r06_exp_prefix.py ab, identical 499,797-pair output in every
+#: rep): theta=0.5, t=16 -- warm 24.7-28.0s -> 15.2-22.5s (the rejected 72%
+#: of pairs skip the full hash-set build AND all downstream row machinery,
+#: beating the naive (p/n)-cost model); theta=0.9 (flagship query, t=16) --
+#: 5.6s -> 4.2s. Below theta=0.5 the sound prefix exceeds half the array
+#: and no declared query goes there, so the filter stays off.
+SOUND_PREFIX_MIN_THETA = 0.5
 
 
 def verify_pairs(

@@ -48,7 +48,10 @@ def _random_pair_rows(seed: int, n_rows: int = 2000):
     return rows
 
 
-@pytest.mark.parametrize("theta,t", [(0.7, 1), (0.7, 16), (0.9, 8), (0.9, 16), (0.9, 64)])
+@pytest.mark.parametrize(
+    "theta,t",
+    [(0.5, 1), (0.5, 16), (0.7, 16), (0.9, 8), (0.9, 16), (0.9, 64)],
+)
 def test_prefix_pred_sound(spark, theta, t):
     """No pair with jaccard >= theta is ever rejected (the lemma's claim),
     across random overlaps AND exact-boundary pairs."""
@@ -79,13 +82,14 @@ def test_prefix_pred_rejects_disjoint(spark):
     assert kept == 0
 
 
-def test_verify_pairs_identical_with_filter(spark, small_corpus_shingled):
+@pytest.mark.parametrize("theta", [0.5, 0.9])
+def test_verify_pairs_identical_with_filter(spark, small_corpus_shingled, theta):
     """End-to-end: verify_pairs output is byte-identical with the sound
-    prefix filter on vs off (theta=0.9, jaccard-only channel)."""
+    prefix filter on vs off (both production thetas, jaccard-only channel)."""
     shingled, cands, base_cfg = small_corpus_shingled
     cfg_on = dataclasses.replace(
         base_cfg,
-        jaccard_threshold=0.9,
+        jaccard_threshold=theta,
         overlap_threshold=None,
         verify_sound_prefix_t=16,
     )
@@ -117,16 +121,18 @@ def test_filter_inactive_below_min_theta(spark, small_corpus_shingled):
         verify_sound_prefix_t=16,
     )
     marker = "array_intersect(slice("  # unique to the prefix filter
-    plan = verify_pairs(
-        cands, shingled, cfg, compute_overlap=False
+    cfg_lo = dataclasses.replace(cfg, jaccard_threshold=0.4)
+    plan_lo = verify_pairs(
+        cands, shingled, cfg_lo, compute_overlap=False
     )._jdf.queryExecution().optimizedPlan().toString()
-    assert marker not in plan
+    assert marker not in plan_lo
 
-    cfg_hi = dataclasses.replace(cfg, jaccard_threshold=0.9)
-    plan_hi = verify_pairs(
-        cands, shingled, cfg_hi, compute_overlap=False
-    )._jdf.queryExecution().optimizedPlan().toString()
-    assert marker in plan_hi
+    for theta in (0.5, 0.9):  # both measured-win regimes
+        cfg_hi = dataclasses.replace(cfg, jaccard_threshold=theta)
+        plan_hi = verify_pairs(
+            cands, shingled, cfg_hi, compute_overlap=False
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert marker in plan_hi
 
 
 @pytest.fixture(scope="module")
