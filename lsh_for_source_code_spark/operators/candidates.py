@@ -157,7 +157,16 @@ def candidate_pairs(
     # agreement prefilter never drops them (their per-level duplicate
     # emissions also make n_shared_bands an agreement-EVENT count for them,
     # not a distinct-band count -- harmless because nothing downstream
-    # filters star-flagged pairs on it)
+    # filters star-flagged pairs on it). When that prefilter is OFF
+    # (min_band_agreement <= 1, every declared config) the flag is never
+    # read, so the union and the dedup groupBy skip it entirely (r6
+    # resumed session: one less shuffled column + aggregate over the
+    # ~23M-emission dedup exchange).
+    union = pairs_small.unionByName(refined_exact).unionByName(pairs_mega)
+    if cfg.min_band_agreement <= 1:
+        return union.groupBy("id_a", "id_b").agg(
+            F.count("*").alias("n_shared_bands")
+        )
     merged = (
         pairs_small.withColumn("_star", F.lit(False))
         .unionByName(refined_exact.withColumn("_star", F.lit(True)))
@@ -171,10 +180,9 @@ def candidate_pairs(
     # band-agreement prefilter: single-band candidates are overwhelmingly
     # false at r>=2 (see config.min_band_agreement); star anchor pairs are
     # exempt because they are the mega-bucket's only connectivity edges.
-    if cfg.min_band_agreement > 1:
-        merged = merged.filter(
-            (F.col("n_shared_bands") >= cfg.min_band_agreement) | F.col("_star")
-        )
+    merged = merged.filter(
+        (F.col("n_shared_bands") >= cfg.min_band_agreement) | F.col("_star")
+    )
     return merged.drop("_star")
 
 
@@ -222,6 +230,7 @@ def _refine_mega(
             ),
         )
         keys.append(k)
+    KEY = ["_lvl", "band_id", "_k"]
     work = (
         mega.select("band_id", "_key", "file_id")
         .join(signed.select("file_id", "minhash").hint("shuffle_hash"), "file_id")
@@ -230,6 +239,13 @@ def _refine_mega(
             "file_id",
             F.posexplode(F.array(*keys)).alias("_lvl", "_k"),
         )
+        # repartition on KEY before the persist (r6 resumed session): the
+        # occupancy groupBy AND the key join below then both ride the
+        # cached hash partitioning instead of each re-exchanging the full
+        # exploded stream -- the refine path's exchanges drop 3 -> 1.
+        # KEY ends in the refined hash _k, so partitioning is high-entropy
+        # even when one source band is a 10^8-member junk bucket.
+        .repartition(*KEY)
     )
     # Storage strategy A/B'd per VERDICT r4 next#3 (see config.
     # refine_work_persist): cache population of this exploded table was the
@@ -241,16 +257,13 @@ def _refine_mega(
 
         work = track(work.persist(StorageLevel.MEMORY_AND_DISK))
     # "off": no persist -- consumers recompute the codegen key expressions
-    # st is consumed by two branches (emit keys + residual keys): persist the
-    # COMPACT stats table -- not the full exploded work join -- so the
-    # occupancy aggregation runs once. Single-level groupBy (r6): map-side
-    # partial aggregation already bounds any hot key's reducer input at
+    # Occupancy stats: single-level groupBy (r6) -- map-side partial
+    # aggregation already bounds any hot key's reducer input at
     # #map-partitions rows; the former explicit salt level cost one extra
-    # full exchange of the exploded stream for no skew benefit.
-    st = track(
-        work.groupBy("_lvl", "band_id", "_k")
-        .agg(F.count("*").alias("sz"), F.min("file_id").alias("anchor"))
-        .persist()
+    # full exchange of the exploded stream for no skew benefit. st is NOT
+    # persisted: the union key table below is its only consumer.
+    st = work.groupBy(*KEY).agg(
+        F.count("*").alias("sz"), F.min("file_id").alias("anchor")
     )
     # Emission policy: sub-buckets <= C emit exact all-pairs at EVERY level
     # (a bucket already small at level l re-emits subdivided at l+1 -- the
@@ -263,31 +276,32 @@ def _refine_mega(
     # cost 21.4M deduped candidates and 113s of verify.
     # Rather than tagging EVERY work row with its bucket stats (a full-width
     # join of the exploded table, the r3 S5 scaling floor), work joins only
-    # the emitting keys -- and because the emit join and the residual join
-    # hash on the same key, the exchanges are reused. The all-pairs emission
-    # itself is collect_list + HOF expansion riding the emit join's KEY
-    # partitioning (r6, _pair_expand; member lists bounded by `cap`).
-    KEY = ["_lvl", "band_id", "_k"]
-    emit_keys = st.filter(
-        (F.col("sz") >= 2)
-        & (
-            (F.col("sz") <= C)
-            | ((F.col("_lvl") >= 1) & (F.col("sz") <= cap))
-        )
-    ).select(*KEY)
-    emit = work.join(emit_keys.hint("shuffle_hash"), on=KEY).select(
-        *KEY, "file_id"
+    # the interesting keys -- and emit + residual keys ride ONE union key
+    # table through ONE join (r6 resumed session, scripts/r06_exp_refine2.py:
+    # the former separate emit/residual joins each re-shuffled the work
+    # stream; with the union join + KEY-repartitioned persist the refine
+    # wall halved, 11.0-15.6s -> 5.8-10.4s at 200k, outputs identical by
+    # checksum). The predicates are disjoint (sz <= cap emits, sz > cap at
+    # the last level is residual), so one boolean splits the join output.
+    # The all-pairs emission itself is collect_list + HOF expansion riding
+    # the join's KEY partitioning (_pair_expand; member lists bounded by
+    # `cap`); the joined table is persisted because the emit and residual
+    # branches are two consumers.
+    emit_f = (F.col("sz") >= 2) & (
+        (F.col("sz") <= C) | ((F.col("_lvl") >= 1) & (F.col("sz") <= cap))
     )
+    res_f = (F.col("_lvl") == levels - 1) & (F.col("sz") > cap)
+    keys_tbl = st.filter(emit_f | res_f).select(
+        *KEY, "sz", "anchor", emit_f.alias("_emit")
+    )
+    joined = track(work.join(keys_tbl.hint("shuffle_hash"), on=KEY).persist())
     exact = _pair_expand(
-        emit.groupBy(*KEY).agg(F.collect_list("file_id").alias("ms"))
+        joined.filter("_emit")
+        .groupBy(*KEY)
+        .agg(F.collect_list("file_id").alias("ms"))
     )
-    res_keys = st.filter(
-        (F.col("_lvl") == levels - 1) & (F.col("sz") > cap)
-    ).select(*KEY, "sz", "anchor")
-    residual = (
-        work.filter(F.col("_lvl") == levels - 1)
-        .join(res_keys.hint("shuffle_hash"), on=KEY)
-        .select("band_id", F.col("_k").alias("_key"), "file_id", "sz", "anchor")
+    residual = joined.filter(~F.col("_emit")).select(
+        "band_id", F.col("_k").alias("_key"), "file_id", "sz", "anchor"
     )
     return exact, residual
 

@@ -552,15 +552,20 @@ def join_pair_features(
     parallel, and AQE still skew-splits the pair-side partitions.
 
     `broadcast_b=True` (r6, size-gated by feature_table_fits_broadcast):
-    the SECOND feature join broadcasts instead. The expensive exchange in
-    this stage is not the feature table (O(corpus) array bytes) but the
-    JOIN 1 OUTPUT -- every pair row already carrying sh_a -- which the
-    second SHUFFLE_HASH join re-shuffles by id_b (~|pairs| x avg-array
-    bytes, 17.4M x ~1.9 KB ~= 32 GB at the 200k bench). Broadcasting the
-    b-side makes join 2 a map-side lookup, so the wide intermediate never
-    crosses an exchange. Measured at 200k/local[32] (scripts/
-    r06_exp_verify.py, identical 499,797-pair output by checksum): warm
-    ~25s -> ~22s, cold 87s -> 20s; pipeline S6 stage 37.3s -> ~22s."""
+    BOTH feature joins broadcast. The expensive exchange in this stage is
+    not the feature table (O(corpus) array bytes) but the JOIN 1 OUTPUT --
+    every pair row already carrying sh_a -- which a second SHUFFLE_HASH
+    join would re-shuffle by id_b (~|pairs| x avg-array bytes, 17.4M x
+    ~1.9 KB ~= 32 GB at the 200k bench). Broadcasting the b-side makes
+    join 2 a map-side lookup, so the wide intermediate never crosses an
+    exchange (measured at 200k/local[32], scripts/r06_exp_verify.py,
+    identical 499,797-pair output by checksum: warm ~25s -> ~22s, cold
+    87s -> 20s; pipeline S6 stage 37.3s -> ~22s). The a-side then
+    broadcasts TOO (r6 resumed session, scripts/r06_exp_verify3.py): the
+    two broadcast subtrees are canonically identical, so AQE's stage
+    cache builds the relation once and the candidates stream never
+    shuffles at all -- verify wall 17.2-24.9s -> 14.4-20.0s, winning 6/7
+    interleaved reps, output identical by count + xxhash64 checksum."""
     cols = [F.col(id_col).alias("fid"), F.col("shingles")]
     if with_counts:
         cols += [F.col("counts"), F.col("n_tokens")]
@@ -575,13 +580,12 @@ def join_pair_features(
             ]
         return feat.select(*sel)
 
-    b = (
-        F.broadcast(side("b", "id_b"))
-        if broadcast_b
-        else side("b", "id_b").hint("shuffle_hash")
-    )
+    if broadcast_b:
+        return candidates.join(F.broadcast(side("a", "id_a")), "id_a").join(
+            F.broadcast(side("b", "id_b")), "id_b"
+        )
     return candidates.join(side("a", "id_a").hint("shuffle_hash"), "id_a").join(
-        b, "id_b"
+        side("b", "id_b").hint("shuffle_hash"), "id_b"
     )
 
 

@@ -199,13 +199,16 @@ def test_join_strategy_discipline(spark):
     a driver-serial collect -- the measured r1 scaling floor, BENCH_NOTES
     #4). r6: the B-SIDE verify feature join broadcasts when the feature
     table fits cfg.verify_broadcast_max_rows/_bytes (guide-§8: the wide
-    pair+sh_a intermediate then never crosses an exchange); at sf0.001
-    the bound is met, so exactly that one BroadcastHashJoin is expected."""
+    pair+sh_a intermediate then never crosses an exchange; r6 resumed
+    session: BOTH feature sides broadcast under the gate -- the identical
+    subtrees share one AQE-cached relation and the candidates stream
+    never shuffles); at sf0.001 the bound is met, so BroadcastHashJoins
+    are expected for the feature joins."""
     p = _plan(spark, QUERIES["broadcast_dim_join"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p
     p = _plan(spark, QUERIES["near_dup_pairs"](spark, SF_DIR))
-    assert "ShuffledHashJoin" in p  # band self-join + a-side feature join
-    assert "BroadcastHashJoin" in p  # size-gated b-side feature join
+    assert "ShuffledHashJoin" in p  # band stats join stays shuffled-hash
+    assert "BroadcastHashJoin" in p  # size-gated feature joins
     assert "SortMergeJoin" not in p
 
 
