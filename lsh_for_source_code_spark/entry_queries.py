@@ -423,10 +423,20 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             lambda a, b: F.xxhash64(F.concat_ws("\x01", a, b)),
         )
     )
-    posts = (
+    # r6 resumed session 2: persist the PRE-explode grams table -- the
+    # posting self-join otherwise evaluates the regexp tokenize + bigram
+    # zip_with + distinct expression independently on both join sides
+    # (plus once more in a pushed size-filter); same broken-reuse shape
+    # the bloom/lm/semdedup persists fixed. Measured same-process
+    # interleaved (scripts/r06_exp_ngram.py): 3.4-5.0s -> 2.4-2.7s,
+    # winning every rep, identical output by checksum.
+    gtab = track(
         docs.select("doc_id", "source", grams.alias("grams"))
         .withColumn("n", F.size("grams"))
-        .select("doc_id", "source", "n", F.explode("grams").alias("gram"))
+        .persist()
+    )
+    posts = gtab.select(
+        "doc_id", "source", "n", F.explode("grams").alias("gram")
     )
     a, b = posts.alias("a"), posts.alias("b")
     inter = (
