@@ -259,6 +259,86 @@ def test_refine_persist_knob_validated():
         replace(CFG, refine_work_persist="bogus")
 
 
+def test_refine_union_join_equals_two_join_reference(spark):
+    """The r6 single union-key join inside _refine_mega (emit + residual
+    keys through ONE work join, split by a boolean) must produce exactly
+    the pairs and residual rows of the straightforward reference shape
+    (separate emit join and residual join). The persist-strategy equality
+    test cannot catch a logic bug here because all strategies share the
+    same join code; this reference reimplements the emission policy
+    independently."""
+    from pyspark.sql import functions as F
+
+    from lsh_for_source_code_spark.operators.candidates import _refine_mega
+
+    n = 500
+    rng = np.random.default_rng(37)
+    cfg = replace(
+        CFG, max_bucket_pairs=4, mega_chunk_target=2, mega_refine_levels=3
+    )
+    mh = rng.integers(1, 1 << 40, size=(n, cfg.num_perm)).astype("int64")
+    # planted cohesive groups of several sizes so emit triggers at
+    # different levels (sz <= C at level 0, C < sz <= cap at level >= 1)
+    for grp in ((0, 1), (10, 11, 12), (20, 21, 22, 23), tuple(range(30, 38))):
+        for m in grp[1:]:
+            mh[m] = mh[grp[0]]
+    mega = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "band_id": [0] * n,
+                "_key": [7] * n,
+                "file_id": range(n),
+                "sz": [n] * n,
+                "anchor": [0] * n,
+            }
+        )
+    )
+    signed = spark.createDataFrame(
+        pd.DataFrame({"file_id": range(n), "minhash": [list(r) for r in mh]})
+    )
+    levels = int(cfg.mega_refine_levels)
+    exact, residual = _refine_mega(mega, signed, cfg, levels)
+    got_pairs = sorted((r.id_a, r.id_b) for r in exact.collect())
+    got_res = sorted(
+        (r.band_id, r._key, r.file_id, r.sz, r.anchor) for r in residual.collect()
+    )
+
+    # independent reference: pull the cumulative key chain from Spark
+    # itself (python has no xxhash64 twin), then apply the emission
+    # policy in plain python
+    r_, p_ = cfg.rows_per_band, cfg.num_perm
+    C = max(int(cfg.mega_chunk_target), 2)
+    cap = int(cfg.max_bucket_pairs)
+    key_cols = []
+    k = F.lit(7).cast("long")
+    for l in range(levels):
+        k = F.xxhash64(
+            k, F.element_at("minhash", ((0 * r_ + r_ + l) % p_ + 1))
+        )
+        key_cols.append(k.alias(f"k{l}"))
+    kdf = signed.select("file_id", *key_cols).collect()
+    from collections import defaultdict
+
+    members = defaultdict(list)  # (lvl, key) -> [file_id]
+    for row in kdf:
+        for l in range(levels):
+            members[(l, row[f"k{l}"])].append(row.file_id)
+    ref_pairs = []
+    ref_res = []
+    for (l, key), ms in sorted(members.items()):
+        sz = len(ms)
+        emits = sz >= 2 and (sz <= C or (l >= 1 and sz <= cap))
+        if emits:
+            ms = sorted(ms)
+            ref_pairs += [
+                (a, b) for i, a in enumerate(ms) for b in ms[i + 1 :]
+            ]
+        if l == levels - 1 and sz > cap:
+            ref_res += [(0, key, f, sz, min(ms)) for f in ms]
+    assert got_pairs == sorted(ref_pairs)
+    assert got_res == sorted(ref_res)
+
+
 def test_candidates_n_shared_bands_dedup(spark):
     bands = spark.createDataFrame(
         pd.DataFrame(
