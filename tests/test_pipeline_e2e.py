@@ -553,6 +553,41 @@ def test_config_rejects_bad_checkpoint_buckets():
         PipelineConfig(checkpoint_buckets=0)
 
 
+def test_verify_broadcast_gate_output_identical(spark):
+    """The size-gated verify feature join has two shapes -- both sides
+    broadcast (gate passes; r6 resumed session broadcasts the a-side
+    too) vs two pinned SHUFFLE_HASH joins (gate off, the production
+    fallback). They must produce the identical verified pair set with
+    identical jaccard values."""
+    import dataclasses
+
+    from lsh_for_source_code_spark.functions.minhash import sign_files
+    from lsh_for_source_code_spark.functions.tokenize import shingle_files
+    from lsh_for_source_code_spark.operators.banding import band_files
+    from lsh_for_source_code_spark.operators.candidates import candidate_pairs
+    from lsh_for_source_code_spark.operators.verify import verify_pairs
+    from lsh_for_source_code_spark.plans.pipeline import with_file_id
+
+    df, _ = corpus_df(spark, n_files=120, seed=9)
+    cfg = PipelineConfig()
+    ids = with_file_id(df)
+    shingled = shingle_files(
+        ids, k=cfg.shingle_k, min_freq=cfg.min_token_freq
+    ).select("file_id", "content_sha", "n_tokens", "shingles", "counts")
+    signed = sign_files(shingled, cfg)
+    cands = candidate_pairs(band_files(signed, cfg), cfg, signed=signed)
+    results = {}
+    for name, c in (
+        ("bcast", cfg),
+        ("shj", dataclasses.replace(cfg, verify_broadcast_max_rows=0)),
+    ):
+        results[name] = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in verify_pairs(cands, shingled, c).collect()
+        )
+    assert results["bcast"] == results["shj"] and results["bcast"]
+
+
 def test_pipeline_survives_ansi_mode(spark):
     """Spark 4's default is spark.sql.ansi.enabled=true; our session
     builder turns it off, but a user embedding the library in their OWN
